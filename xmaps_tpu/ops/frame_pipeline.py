@@ -1,0 +1,130 @@
+"""The fused per-frame depth program (device).
+
+Composes the per-event stage (rectify -> X-map lookup -> disparity), the
+deterministic scatter, and the dense image tail into ONE jitted XLA
+program, mirroring the reference's per-frame path process_ev_frame
+(depth_reprojection_pipe.py:121-167) minus display.  Both render
+perspectives are supported:
+
+- projector view (default): scatter into the rectified frame, dilate,
+  remap to projector resolution (depth_reprojection_pipe.py:153-162);
+- camera view: scatter at raw event coordinates
+  (cam_proj_calibration.py:312-317).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xmaps_tpu.config import PipelineConfig
+from xmaps_tpu.ops.disparity import DisparityResult, compute_event_disparity
+from xmaps_tpu.ops.event_batch import EventBatch
+from xmaps_tpu.ops.image_tail import (
+    clip_normalize_u8,
+    colorize_turbo,
+    dilate_max,
+    disparity_to_depth,
+    remap_nearest_i16,
+)
+from xmaps_tpu.ops.scatter import scatter_disp_last_wins
+
+__all__ = ["DeviceTables", "FrameResult", "depth_frame", "make_depth_frame_fn"]
+
+
+class DeviceTables(NamedTuple):
+    """Precomputed LUTs resident in HBM (built once per session from
+    calib.CamProjMaps; see models/depth_pipeline.py)."""
+
+    cam_mapx_i16: jax.Array  # (H_cam, W_cam) int16: cam px -> rect x
+    cam_mapy_i16: jax.Array  # (H_cam, W_cam) int16: cam px -> rect y
+    x_map: jax.Array  # (H_rect, W_time) int16
+    proj_mapx_i16: jax.Array  # (H_proj, W_proj) int16: proj px -> rect x
+    proj_mapy_i16: jax.Array  # (H_proj, W_proj) int16: proj px -> rect y
+    p03: jax.Array  # scalar f32: P2[0, 3] (baseline * focal)
+
+    @staticmethod
+    def from_maps(cam_proj_maps, x_map: np.ndarray) -> "DeviceTables":
+        m = cam_proj_maps
+        return DeviceTables(
+            cam_mapx_i16=jnp.asarray(m.disp_cam_mapx_i16),
+            cam_mapy_i16=jnp.asarray(m.disp_cam_mapy_i16),
+            x_map=jnp.asarray(x_map),
+            proj_mapx_i16=jnp.asarray(m.disp_proj_mapx_i16),
+            proj_mapy_i16=jnp.asarray(m.disp_proj_mapy_i16),
+            p03=jnp.asarray(np.float32(m.P2[0, 3])),
+        )
+
+
+class FrameResult(NamedTuple):
+    frame_bgr: jax.Array  # (H_out, W_out, 3) uint8 colorized depth
+    depth: jax.Array  # (H_out, W_out) float32 metric depth (0 = undefined)
+    disp_map: jax.Array  # view-dependent disparity map, float32
+    num_inliers: jax.Array  # int32
+
+
+def depth_frame(
+    batch: EventBatch,
+    tables: DeviceTables,
+    cfg: PipelineConfig,
+) -> FrameResult:
+    """One projector frame of events -> colorized depth map.
+
+    Trace-time static: cfg (shapes/sizes), dynamic: batch + tables.
+    """
+    res: DisparityResult = compute_event_disparity(
+        batch,
+        tables.cam_mapx_i16,
+        tables.cam_mapy_i16,
+        tables.x_map,
+        t_px_scale=cfg.t_px_scale,
+    )
+
+    if cfg.camera_perspective:
+        disp_map = scatter_disp_last_wins(
+            batch.y,
+            batch.x,
+            res.disp,
+            res.inlier,
+            height=cfg.camera_height,
+            width=cfg.camera_width,
+        )
+        disp_for_depth = disp_map
+    else:
+        disp_rect = scatter_disp_last_wins(
+            res.y_rect,
+            res.x_rect + res.disp.astype(jnp.int32),
+            res.disp,
+            res.inlier,
+            height=cfg.rect_height,
+            width=cfg.rect_width,
+        )
+        dilated = dilate_max(disp_rect, 7)
+        disp_for_depth = remap_nearest_i16(
+            dilated, tables.proj_mapx_i16, tables.proj_mapy_i16
+        )
+        disp_map = disp_for_depth
+
+    depth = disparity_to_depth(disp_for_depth, tables.p03)
+    norm_u8 = clip_normalize_u8(depth, cfg.z_near, cfg.z_far)
+    frame = colorize_turbo(norm_u8)
+    return FrameResult(
+        frame_bgr=frame,
+        depth=depth,
+        disp_map=disp_map,
+        num_inliers=jnp.sum(res.inlier).astype(jnp.int32),
+    )
+
+
+def make_depth_frame_fn(cfg: PipelineConfig, donate: bool = True):
+    """Build the jitted frame function with cfg baked in.
+
+    ``donate`` donates the event batch buffers so XLA reuses them across
+    frames (host->HBM staging stays double-buffered in io.prefetch).
+    """
+    fn = functools.partial(depth_frame, cfg=cfg)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
