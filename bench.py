@@ -1,0 +1,117 @@
+"""Benchmark: event->depth throughput and latency on one chip.
+
+Replays synthetic frames at the reference demonstrator's geometry (640x480
+event camera, 720x1280 scanning projector @60 Hz, ~30k events/frame --
+paper setup, BASELINE.md) through the fused frame program and reports ONE
+JSON line:
+
+    {"metric": "Mevents/s/chip", "value": ..., "unit": "Mevents/s",
+     "vs_baseline": ...}
+
+vs_baseline compares our per-frame compute latency against the reference's
+published 2.67 ms/frame CPU figure (paper Table 2, BASELINE.md) as a
+speedup factor (>1 = faster than the reference).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from xmaps_tpu.calib.maps import CamProjMaps
+    from xmaps_tpu.config import PipelineConfig
+    from xmaps_tpu.models.depth_pipeline import XMapsDepthEngine
+    from xmaps_tpu.ops.event_batch import EventBatch
+    from xmaps_tpu.utils.synthetic import (
+        make_synthetic_calibration,
+        simulate_plane_events,
+    )
+
+    dev = jax.devices()[0]
+
+    # Demonstrator-scale rig (README.md:30, paper html:260-263):
+    # camera 640x480, projector 720x1280, rect 1760x1320.
+    calib = make_synthetic_calibration(
+        camera_width=640,
+        camera_height=480,
+        projector_width=720,
+        projector_height=1280,
+    )
+
+    t0 = time.perf_counter()
+    engine = XMapsDepthEngine.from_calibration(
+        calib, event_capacity=32768, z_near=0.2, z_far=1.2
+    )
+    setup_s = time.perf_counter() - t0
+
+    # ~28k events/frame, ESL-seq1-like density.
+    rng = np.random.default_rng(7)
+    frames = []
+    for i in range(8):
+        ev = simulate_plane_events(
+            calib,
+            depth_m=0.45 + 0.05 * i,
+            subsample=0.031,
+            jitter_us=2.0,
+            rng=rng,
+        )
+        frames.append(EventBatch.from_structured(ev, engine.cfg.event_capacity))
+    frames = [jax.device_put(b, dev) for b in frames]
+    n_events = int(np.mean([int(b.count) for b in frames]))
+
+    fn = engine.frame_fn
+
+    # Warmup / compile.
+    out = fn(frames[0], engine.tables)
+    jax.block_until_ready(out)
+
+    # Synchronous per-frame latency (dispatch + compute + fetch sync).
+    lat = []
+    for i in range(60):
+        b = frames[i % len(frames)]
+        t0 = time.perf_counter()
+        out = fn(b, engine.tables)
+        jax.block_until_ready(out)
+        lat.append(time.perf_counter() - t0)
+    p50_ms = float(np.percentile(lat, 50) * 1e3)
+    p95_ms = float(np.percentile(lat, 95) * 1e3)
+
+    # Pipelined throughput (async dispatch, block at end) -- the streaming
+    # regime with double-buffered feeding.
+    n_iters = 240
+    outs = []
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        outs.append(fn(frames[i % len(frames)], engine.tables))
+        if len(outs) > 4:
+            outs.pop(0)  # keep a small in-flight window
+    jax.block_until_ready(outs)
+    total_s = time.perf_counter() - t0
+    frame_ms = total_s / n_iters * 1e3
+    mevents_s = n_events * n_iters / total_s / 1e6
+
+    ref_ms = 2.67  # reference CPU per-frame latency, BASELINE.md
+    result = {
+        "metric": "Mevents/s/chip",
+        "value": round(mevents_s, 2),
+        "unit": "Mevents/s",
+        "vs_baseline": round(ref_ms / frame_ms, 2),
+        "extra": {
+            "device": str(dev),
+            "events_per_frame": n_events,
+            "frame_ms_pipelined": round(frame_ms, 3),
+            "p50_ms_sync": round(p50_ms, 3),
+            "p95_ms_sync": round(p95_ms, 3),
+            "setup_s": round(setup_s, 2),
+            "ref_frame_ms": ref_ms,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+The sharded pipeline must be bit-identical to the single-chip program:
+the packed scatter-max is associative and event indices are global, so
+event-parallel execution preserves NumPy last-write-wins semantics.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from xmaps_tpu.calib.maps import CamProjMaps
+from xmaps_tpu.config import PipelineConfig
+from xmaps_tpu.ops.event_batch import EventBatch
+from xmaps_tpu.ops.frame_pipeline import DeviceTables, depth_frame
+from xmaps_tpu.ops.xmap import build_x_map_numpy
+from xmaps_tpu.parallel import make_mesh, make_sharded_pipeline, shard_batches
+from xmaps_tpu.utils.synthetic import make_synthetic_calibration, simulate_plane_events
+
+
+@pytest.fixture(scope="module")
+def rig():
+    calib = make_synthetic_calibration()
+    maps = CamProjMaps(calib)
+    tm_rect = maps.build_rectified_time_map()
+    x_map, _ = build_x_map_numpy(
+        tm_rect,
+        x_map_width=calib.projector_width,
+        t_px_scale=calib.projector_width - 1,
+        num_scanlines=calib.projector_width,
+    )
+    cfg = PipelineConfig(
+        camera_width=calib.camera_width,
+        camera_height=calib.camera_height,
+        projector_width=calib.projector_width,
+        projector_height=calib.projector_height,
+        rect_width=calib.rect_image_width,
+        rect_height=calib.rect_image_height,
+        event_capacity=16384,
+        z_near=0.2,
+        z_far=1.2,
+    )
+    tables = DeviceTables.from_maps(maps, x_map)
+    return calib, cfg, tables
+
+
+@pytest.mark.parametrize("data,event", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_matches_single_chip(rig, data, event):
+    calib, cfg, tables = rig
+    if len(jax.devices()) < data * event:
+        pytest.skip("needs 8 devices")
+
+    depths = [0.45, 0.55, 0.65, 0.75, 0.5, 0.6, 0.7, 0.8]
+    batches = [
+        EventBatch.from_structured(
+            simulate_plane_events(calib, depth_m=z, jitter_us=2.0),
+            cfg.event_capacity,
+        )
+        for z in depths
+    ]
+
+    mesh = make_mesh(jax.devices()[: data * event], data=data, event=event)
+    pipeline = make_sharded_pipeline(cfg, tables, mesh)
+    stacked = shard_batches(batches, mesh, cfg)
+    out = pipeline(stacked)
+
+    for i, b in enumerate(batches):
+        ref = depth_frame(b, tables, cfg)
+        np.testing.assert_array_equal(
+            np.asarray(out.disp_map)[i], np.asarray(ref.disp_map)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.frame_bgr)[i], np.asarray(ref.frame_bgr)
+        )
+        assert int(out.num_inliers[i]) == int(ref.num_inliers)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(jax.devices(), data=4, event=2)
+    assert mesh.shape == {"data": 4, "event": 2}

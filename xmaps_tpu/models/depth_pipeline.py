@@ -1,0 +1,184 @@
+"""XMapsDepthEngine: the flagship event->depth model.
+
+Owns the one-time init (calibration load, LUT construction, X-map build --
+reference init path SURVEY.md §3.4) and the per-frame jitted program.  This
+is the device-side counterpart of the reference's DepthReprojectionPipe
+setup (depth_reprojection_pipe.py:64-108); streaming orchestration lives in
+xmaps_tpu.runtime.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xmaps_tpu.calib.maps import CalibrationParams, CamProjMaps
+from xmaps_tpu.config import PipelineConfig, RuntimeParams
+from xmaps_tpu.ops.event_batch import EventBatch
+from xmaps_tpu.ops.frame_pipeline import (
+    DeviceTables,
+    FrameResult,
+    make_depth_frame_fn,
+)
+from xmaps_tpu.ops.xmap import build_x_map, build_x_map_numpy
+
+
+def _xmap_cache_key(time_map: np.ndarray, x_map_width: int, t_px_scale: int,
+                    num_scanlines: int) -> str:
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(time_map).tobytes())
+    h.update(f"{x_map_width}|{t_px_scale}|{num_scanlines}".encode())
+    return h.hexdigest()[:24]
+
+
+@dataclass
+class XMapsDepthEngine:
+    """End-to-end depth pipeline bound to one calibration.
+
+    Build with :meth:`from_calibration` (or :meth:`from_runtime_params` for
+    CLI use).  ``process_frame`` turns one frame's events into a colorized
+    depth map in a single device program.
+    """
+
+    cfg: PipelineConfig
+    maps: CamProjMaps
+    tables: DeviceTables
+    x_map_np: np.ndarray
+    time_map_rect: np.ndarray
+
+    _frame_fn: object = field(init=False, default=None, repr=False)
+
+    def __post_init__(self):
+        self._frame_fn = make_depth_frame_fn(self.cfg, donate=False)
+
+    # -- construction --------------------------------------------------
+
+    @staticmethod
+    def from_calibration(
+        calib: CalibrationParams,
+        *,
+        event_capacity: int = 65536,
+        z_near: float = 0.1,
+        z_far: float = 1.0,
+        camera_perspective: bool = False,
+        scan_upwards: bool = True,
+        border_replicate: bool = True,
+        zero_undistort_proj_map: bool = False,
+        projector_time_map_path: Optional[str] = None,
+        xmap_cache_dir: Optional[str] = None,
+        use_device_xmap_build: bool = True,
+    ) -> "XMapsDepthEngine":
+        cfg = PipelineConfig(
+            camera_width=calib.camera_width,
+            camera_height=calib.camera_height,
+            projector_width=calib.projector_width,
+            projector_height=calib.projector_height,
+            rect_width=calib.rect_image_width,
+            rect_height=calib.rect_image_height,
+            event_capacity=event_capacity,
+            z_near=z_near,
+            z_far=z_far,
+            camera_perspective=camera_perspective,
+        )
+        maps = CamProjMaps(calib, zero_undistort_proj_map=zero_undistort_proj_map)
+
+        if projector_time_map_path is not None:
+            # precalibrated rectified time map (reference proj_time_map.py:47-49)
+            time_map_rect = np.load(projector_time_map_path)
+        else:
+            time_map_rect = maps.build_rectified_time_map(
+                scan_upwards=scan_upwards, border_replicate=border_replicate
+            )
+
+        x_map_np = XMapsDepthEngine._build_or_load_xmap(
+            time_map_rect, cfg, xmap_cache_dir, use_device_xmap_build
+        )
+
+        tables = DeviceTables.from_maps(maps, x_map_np)
+        return XMapsDepthEngine(
+            cfg=cfg,
+            maps=maps,
+            tables=tables,
+            x_map_np=x_map_np,
+            time_map_rect=time_map_rect,
+        )
+
+    @staticmethod
+    def from_runtime_params(params: RuntimeParams, **kw) -> "XMapsDepthEngine":
+        calib = CalibrationParams.from_yaml(
+            params.calib,
+            params.camera_width,
+            params.camera_height,
+            params.projector_width,
+            params.projector_height,
+        )
+        return XMapsDepthEngine.from_calibration(
+            calib,
+            z_near=params.z_near,
+            z_far=params.z_far,
+            camera_perspective=params.camera_perspective,
+            projector_time_map_path=params.projector_time_map,
+            **kw,
+        )
+
+    @staticmethod
+    def _build_or_load_xmap(
+        time_map_rect: np.ndarray,
+        cfg: PipelineConfig,
+        cache_dir: Optional[str],
+        use_device: bool,
+    ) -> np.ndarray:
+        """Build the X-map (the heavy init step), with optional disk cache
+        -- the checkpoint/resume analog of this framework (SURVEY.md §5)."""
+        key = _xmap_cache_key(
+            time_map_rect, cfg.x_map_width, cfg.t_px_scale, cfg.projector_width
+        )
+        cache_path = None
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
+            cache_path = os.path.join(cache_dir, f"xmap_{key}.npy")
+            if os.path.exists(cache_path):
+                return np.load(cache_path)
+
+        if use_device:
+            x_map, _ = build_x_map(
+                jnp.asarray(time_map_rect),
+                x_map_width=cfg.x_map_width,
+                t_px_scale=cfg.t_px_scale,
+                num_scanlines=cfg.projector_width,
+            )
+            x_map = np.asarray(jax.device_get(x_map))
+        else:
+            x_map, _ = build_x_map_numpy(
+                time_map_rect,
+                x_map_width=cfg.x_map_width,
+                t_px_scale=cfg.t_px_scale,
+                num_scanlines=cfg.projector_width,
+            )
+
+        if cache_path:
+            np.save(cache_path, x_map)
+        return x_map
+
+    # -- per-frame API ---------------------------------------------------
+
+    def make_batch(self, events: np.ndarray) -> EventBatch:
+        return EventBatch.from_structured(events, self.cfg.event_capacity)
+
+    def process_frame(self, events: np.ndarray) -> FrameResult:
+        """events: structured array with x/y/t/p (one projector frame)."""
+        return self._frame_fn(self.make_batch(events), self.tables)
+
+    def process_batch_device(self, batch: EventBatch) -> FrameResult:
+        return self._frame_fn(batch, self.tables)
+
+    @property
+    def frame_fn(self):
+        """The underlying jitted (batch, tables) -> FrameResult function."""
+        return self._frame_fn

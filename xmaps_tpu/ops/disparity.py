@@ -26,7 +26,12 @@ import jax.numpy as jnp
 from xmaps_tpu.config import X_OFFSET
 from xmaps_tpu.ops.event_batch import EventBatch
 
-__all__ = ["rectify_events", "compute_event_disparity", "DisparityResult"]
+__all__ = [
+    "rectify_events",
+    "compute_event_disparity",
+    "time_bounds",
+    "DisparityResult",
+]
 
 
 class DisparityResult(NamedTuple):
@@ -54,7 +59,23 @@ def rectify_events(
     return xr, yr
 
 
-def _scale_time_int(t: jax.Array, valid: jax.Array, t_px_scale: int) -> jax.Array:
+def time_bounds(t: jax.Array, valid: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Masked (min, max) of event times; identity elements for invalid
+    lanes, so shard-local bounds combine with min/max collectives."""
+    if jnp.issubdtype(t.dtype, jnp.integer):
+        big = jnp.iinfo(t.dtype).max
+        t_min = jnp.min(jnp.where(valid, t, big))
+        t_max = jnp.max(jnp.where(valid, t, -big))
+    else:
+        inf = jnp.asarray(jnp.inf, t.dtype)
+        t_min = jnp.min(jnp.where(valid, t, inf))
+        t_max = jnp.max(jnp.where(valid, t, -inf))
+    return t_min, t_max
+
+
+def _scale_time_int(
+    t: jax.Array, t_min: jax.Array, t_max: jax.Array, t_px_scale: int
+) -> jax.Array:
     """Exact integer round-half-to-even of (t - min) * scale / (max - min).
 
     Equivalent to np.rint(event_norm_t * T_PX_SCALE)
@@ -62,11 +83,6 @@ def _scale_time_int(t: jax.Array, valid: jax.Array, t_px_scale: int) -> jax.Arra
     Assumes (max-min) * scale * 2 < 2^31 (frame spans are ~16.7 ms in us
     units; scale is ~1000, so the product is ~3.6e7).
     """
-    big = jnp.iinfo(jnp.int32).max
-    tv = jnp.where(valid, t, big)
-    t_min = jnp.min(tv)
-    tv = jnp.where(valid, t, -big)
-    t_max = jnp.max(tv)
     rng = jnp.maximum(t_max - t_min, 1)
     num = (t - t_min) * jnp.int32(t_px_scale)
     q = num // rng
@@ -76,11 +92,10 @@ def _scale_time_int(t: jax.Array, valid: jax.Array, t_px_scale: int) -> jax.Arra
     return q + round_up.astype(jnp.int32)
 
 
-def _scale_time_float(t: jax.Array, valid: jax.Array, t_px_scale: int) -> jax.Array:
+def _scale_time_float(
+    t: jax.Array, t_min: jax.Array, t_max: jax.Array, t_px_scale: int
+) -> jax.Array:
     """Float path for normalized [0,1] timestamps (offline eval)."""
-    inf = jnp.float32(jnp.inf)
-    t_min = jnp.min(jnp.where(valid, t, inf))
-    t_max = jnp.max(jnp.where(valid, t, -inf))
     rng = jnp.maximum(t_max - t_min, jnp.float32(1e-30))
     norm = (t - t_min) / rng
     return jnp.round(norm * jnp.float32(t_px_scale)).astype(jnp.int32)
@@ -93,6 +108,7 @@ def compute_event_disparity(
     x_map: jax.Array,
     *,
     t_px_scale: int,
+    t_bounds: tuple[jax.Array, jax.Array] | None = None,
 ) -> DisparityResult:
     """Full per-event disparity stage (reference: x_maps_disparity.py:9-32).
 
@@ -105,10 +121,13 @@ def compute_event_disparity(
     """
     xr, yr = rectify_events(batch.x, batch.y, mapx_i16, mapy_i16)
 
+    if t_bounds is None:
+        t_bounds = time_bounds(batch.t, batch.valid)
+    t_min, t_max = t_bounds
     if jnp.issubdtype(batch.t.dtype, jnp.integer):
-        t_scaled = _scale_time_int(batch.t, batch.valid, t_px_scale)
+        t_scaled = _scale_time_int(batch.t, t_min, t_max, t_px_scale)
     else:
-        t_scaled = _scale_time_float(batch.t, batch.valid, t_px_scale)
+        t_scaled = _scale_time_float(batch.t, t_min, t_max, t_px_scale)
 
     H_xmap, W_time = x_map.shape
     y_in = (yr >= 0) & (yr < H_xmap - 1) & batch.valid

@@ -19,12 +19,55 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["scatter_disp_last_wins", "PACK"]
+__all__ = ["scatter_disp_last_wins", "scatter_disp_packed", "unpack_disp", "PACK"]
 
 #: Must exceed any valid disparity (bounded by the rectified image width,
 #: <= ~5800 for the ESL configuration).  (capacity+1) * PACK must fit in
 #: int32: 65537 * 8192 = 5.4e8 < 2^31.
 PACK = 8192
+
+
+def scatter_disp_packed(
+    ys: jax.Array,
+    xs: jax.Array,
+    disp: jax.Array,
+    inlier: jax.Array,
+    *,
+    height: int,
+    width: int,
+    index_offset: jax.Array | int = 0,
+) -> jax.Array:
+    """Scatter index-packed disparities with max; returns the packed map.
+
+    ``index_offset`` shifts the event indices used for the last-write-wins
+    priority, so event shards on different devices keep globally consistent
+    ordering: the partial packed maps combine exactly with an elementwise
+    max (see parallel.sharding for the pmax-composed version).
+    """
+    n = ys.shape[0]
+    disp_i = disp.astype(jnp.int32)
+    ok = (
+        inlier
+        & (ys >= 0)
+        & (ys < height)
+        & (xs >= 0)
+        & (xs < width)
+        & (disp_i >= 0)
+        & (disp_i < PACK)
+    )
+    idx = jnp.arange(n, dtype=jnp.int32) + index_offset
+    packed = jnp.where(ok, (idx + 1) * PACK + disp_i, 0)
+    # Out-of-bounds scatter indices are dropped; route masked lanes there.
+    ys_s = jnp.where(ok, ys, height)
+    flat = jnp.zeros((height * width,), dtype=jnp.int32)
+    lin = ys_s * width + xs
+    flat = flat.at[lin].max(packed, mode="drop")
+    return flat.reshape(height, width)
+
+
+def unpack_disp(packed: jax.Array) -> jax.Array:
+    """Recover the float32 disparity map from a packed map."""
+    return (packed % PACK).astype(jnp.float32)
 
 
 def scatter_disp_last_wins(
@@ -47,23 +90,8 @@ def scatter_disp_last_wins(
     Returns:
         (height, width) float32 disparity map, 0 where no event landed.
     """
-    n = ys.shape[0]
-    disp_i = disp.astype(jnp.int32)
-    ok = (
-        inlier
-        & (ys >= 0)
-        & (ys < height)
-        & (xs >= 0)
-        & (xs < width)
-        & (disp_i >= 0)
-        & (disp_i < PACK)
+    return unpack_disp(
+        scatter_disp_packed(
+            ys, xs, disp, inlier, height=height, width=width
+        )
     )
-    idx = jnp.arange(n, dtype=jnp.int32)
-    packed = jnp.where(ok, (idx + 1) * PACK + disp_i, 0)
-    # Out-of-bounds scatter indices are dropped; route masked lanes there.
-    ys_s = jnp.where(ok, ys, height)
-    flat = jnp.zeros((height * width,), dtype=jnp.int32)
-    lin = ys_s * width + xs
-    flat = flat.at[lin].max(packed, mode="drop")
-    disp_map = (flat % PACK).astype(jnp.float32)
-    return disp_map.reshape(height, width)
