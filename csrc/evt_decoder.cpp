@@ -287,3 +287,81 @@ int64_t evt_decode(void* h, int64_t max_events, uint16_t* xs, uint16_t* ys,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Streaming event filters (host-side, per packet)
+// ---------------------------------------------------------------------------
+
+// Activity-noise filter state: per-pixel last-event timestamp map.
+// Replaces Metavision's ActivityNoiseFilterAlgorithm
+// (reference: depth_reprojection_pipe.py:4,65-67,117): an event survives if
+// any pixel in its 3x3 neighborhood fired within the time window before it.
+struct ActivityFilter {
+  int32_t width = 0;
+  int32_t height = 0;
+  int64_t window_us = 0;
+  int64_t* last_ts = nullptr;  // (height+2) x (width+2), 1-px border
+
+  ~ActivityFilter() { free(last_ts); }
+};
+
+extern "C" {
+
+void* act_filter_create(int32_t width, int32_t height, int64_t window_us) {
+  auto* f = new ActivityFilter();
+  f->width = width;
+  f->height = height;
+  f->window_us = window_us;
+  size_t n = static_cast<size_t>(width + 2) * (height + 2);
+  f->last_ts = static_cast<int64_t*>(malloc(n * sizeof(int64_t)));
+  for (size_t i = 0; i < n; i++) f->last_ts[i] = INT64_MIN / 2;
+  return f;
+}
+
+void act_filter_destroy(void* h) { delete static_cast<ActivityFilter*>(h); }
+
+void act_filter_reset(void* h) {
+  auto* f = static_cast<ActivityFilter*>(h);
+  size_t n = static_cast<size_t>(f->width + 2) * (f->height + 2);
+  for (size_t i = 0; i < n; i++) f->last_ts[i] = INT64_MIN / 2;
+}
+
+// Filters events in place (SoA); returns the surviving count.  Events must
+// be time-ordered.  keep_polarity: -1 = keep all, 0/1 = keep only that
+// polarity first (fuses the reference's PolarityFilterAlgorithm step,
+// depth_reprojection_pipe.py:114).
+int64_t act_filter_apply(void* h, int64_t n, uint16_t* xs, uint16_t* ys,
+                         int16_t* ps, int64_t* ts, int32_t keep_polarity) {
+  auto* f = static_cast<ActivityFilter*>(h);
+  const int32_t stride = f->width + 2;
+  int64_t m = 0;
+  for (int64_t i = 0; i < n; i++) {
+    if (keep_polarity >= 0 && ps[i] != keep_polarity) continue;
+    const int32_t x = xs[i] + 1;
+    const int32_t y = ys[i] + 1;
+    const int64_t t = ts[i];
+    int64_t* row0 = f->last_ts + static_cast<size_t>(y - 1) * stride + (x - 1);
+    int64_t* row1 = row0 + stride;
+    int64_t* row2 = row1 + stride;
+    int64_t best = row0[0];
+    if (row0[1] > best) best = row0[1];
+    if (row0[2] > best) best = row0[2];
+    if (row1[0] > best) best = row1[0];
+    if (row1[2] > best) best = row1[2];
+    if (row2[0] > best) best = row2[0];
+    if (row2[1] > best) best = row2[1];
+    if (row2[2] > best) best = row2[2];
+    const bool keep = (t - best) <= f->window_us;
+    row1[1] = t;
+    if (keep) {
+      xs[m] = xs[i];
+      ys[m] = ys[i];
+      ps[m] = ps[i];
+      ts[m] = t;
+      m++;
+    }
+  }
+  return m;
+}
+
+}  // extern "C"

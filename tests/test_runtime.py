@@ -1,0 +1,104 @@
+"""End-to-end streaming runtime tests: RAW file -> packets -> trigger
+finder -> device frames (the deterministic-replay smoke test of the
+reference, SURVEY.md §4.2)."""
+
+import numpy as np
+import pytest
+
+from xmaps_tpu.config import RuntimeParams
+from xmaps_tpu.io.evt_encode import encode_evt2
+from xmaps_tpu.io.event_iterator import FileEventsIterator
+from xmaps_tpu.models.depth_pipeline import XMapsDepthEngine
+from xmaps_tpu.runtime.processor import DepthReprojectionProcessor
+from xmaps_tpu.runtime.pipe import DepthReprojectionPipe
+from xmaps_tpu.runtime.trigger_finder import RobustTriggerFinder
+from xmaps_tpu.utils.stats import StatsPrinter
+from xmaps_tpu.utils.synthetic import (
+    make_synthetic_calibration,
+    simulate_sequence,
+)
+
+FPS = 60
+
+
+@pytest.fixture(scope="module")
+def calib():
+    return make_synthetic_calibration()
+
+
+@pytest.fixture(scope="module")
+def raw_file(tmp_path_factory, calib):
+    depths = [0.5, 0.55, 0.6, 0.65, 0.7, 0.75]
+    events = simulate_sequence(calib, depths, fps=FPS, subsample=0.6)
+    path = tmp_path_factory.mktemp("seq") / "seq.raw"
+    with open(path, "wb") as f:
+        f.write(encode_evt2(events, calib.camera_width, calib.camera_height))
+    return str(path), depths, events
+
+
+def test_trigger_finder_segments_frames(raw_file, calib):
+    path, depths, events = raw_file
+    frames = []
+    tf = RobustTriggerFinder(
+        projector_fps=FPS,
+        stats=StatsPrinter(silent=True),
+        frame_callback=lambda evs: frames.append(evs.copy()),
+    )
+    delta_t = 1e6 / FPS / 4
+    for packet in FileEventsIterator(path, delta_t=delta_t):
+        tf.process_events(packet)
+
+    # all interior frames are recoverable (boundary frames lack a leading/
+    # trailing pause)
+    assert len(frames) >= len(depths) - 2
+    frame_us = 1e6 / FPS
+    for f in frames:
+        span = f["t"][-1] - f["t"][0]
+        assert frame_us / 2 < span <= frame_us
+        assert len(f) > 1000
+
+
+def test_full_processor_replay(raw_file, calib):
+    path, depths, events = raw_file
+    engine = XMapsDepthEngine.from_calibration(
+        calib, event_capacity=16384, z_near=0.2, z_far=1.2
+    )
+    params = RuntimeParams(
+        camera_width=calib.camera_width,
+        camera_height=calib.camera_height,
+        projector_width=calib.projector_width,
+        projector_height=calib.projector_height,
+        projector_fps=FPS,
+        z_near=0.2,
+        z_far=1.2,
+        calib="<in-memory>",
+        no_frame_dropping=True,
+    )
+    shown = []
+
+    proc = DepthReprojectionProcessor(
+        params=params, stats_printer=StatsPrinter(silent=True)
+    )
+    # inject a prebuilt engine (the test calibration has no YAML file)
+    proc._pipe = DepthReprojectionPipe(
+        params=params,
+        stats_printer=proc.stats_printer,
+        frame_callback=lambda img: shown.append(img),
+        engine=engine,
+    )
+    from xmaps_tpu.runtime.processor import FakeWindow
+
+    proc._window = FakeWindow()
+
+    delta_t = 1e6 / FPS / 4
+    for packet in FileEventsIterator(path, delta_t=delta_t):
+        proc.process_events(packet)
+    proc._pipe.flush()
+
+    assert len(shown) >= len(depths) - 2
+    img = shown[0]
+    assert img.shape == (calib.projector_height, calib.projector_width, 3)
+    assert img.dtype == np.uint8
+    # colorized depth frame must contain defined (non-white) pixels
+    defined = (img != 255).any(axis=-1)
+    assert defined.mean() > 0.1

@@ -99,6 +99,10 @@ class PipelineConfig:
 
     camera_perspective: bool = False
 
+    #: One of xmaps_tpu.ops.filters.FILTER_NAMES; the reference cycles these
+    #: with the E key (frame_event_filter.py:131-151).
+    frame_filter: str = "none"
+
     #: X-map time axis discretization; reference uses projector_width bins
     #: (x_maps_disparity.py:55-59).
     @property

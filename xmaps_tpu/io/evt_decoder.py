@@ -39,6 +39,16 @@ def _load_native() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
+    stale = (
+        os.path.exists(_LIB_PATH)
+        and os.path.exists(_CSRC)
+        and os.path.getmtime(_CSRC) > os.path.getmtime(_LIB_PATH)
+    )
+    if stale:
+        try:
+            os.remove(_LIB_PATH)
+        except OSError:
+            pass
     if not os.path.exists(_LIB_PATH) and os.path.exists(_CSRC):
         try:
             subprocess.run(

@@ -182,3 +182,8 @@ class XMapsDepthEngine:
     def frame_fn(self):
         """The underlying jitted (batch, tables) -> FrameResult function."""
         return self._frame_fn
+
+    def set_frame_filter(self, name: str):
+        """Swap the frame dedup filter (recompiles once per new filter)."""
+        self.cfg = self.cfg.replace(frame_filter=name)
+        self._frame_fn = make_depth_frame_fn(self.cfg, donate=False)

@@ -109,6 +109,7 @@ def compute_event_disparity(
     *,
     t_px_scale: int,
     t_bounds: tuple[jax.Array, jax.Array] | None = None,
+    rect_coords: tuple[jax.Array, jax.Array] | None = None,
 ) -> DisparityResult:
     """Full per-event disparity stage (reference: x_maps_disparity.py:9-32).
 
@@ -119,7 +120,10 @@ def compute_event_disparity(
     - disparity >= 0 (reference :29), which also rejects undefined X-map
       entries (x_proj == 0 gives disp = -x_rect - X_OFFSET < 0).
     """
-    xr, yr = rectify_events(batch.x, batch.y, mapx_i16, mapy_i16)
+    if rect_coords is not None:
+        xr, yr = rect_coords
+    else:
+        xr, yr = rectify_events(batch.x, batch.y, mapx_i16, mapy_i16)
 
     if t_bounds is None:
         t_bounds = time_bounds(batch.t, batch.valid)

@@ -31,8 +31,6 @@ from xmaps_tpu.ops.image_tail import (
     disparity_to_depth,
     remap_nearest_i16,
 )
-from xmaps_tpu.ops.scatter import scatter_disp_last_wins
-
 __all__ = ["DeviceTables", "FrameResult", "depth_frame", "make_depth_frame_fn"]
 
 
@@ -76,32 +74,59 @@ def depth_frame(
 
     Trace-time static: cfg (shapes/sizes), dynamic: batch + tables.
     """
+    from xmaps_tpu.ops.disparity import rectify_events
+    from xmaps_tpu.ops.filters import apply_frame_filter
+    from xmaps_tpu.ops.scatter import scatter_disp_packed, unpack_disp
+
+    xr, yr = rectify_events(
+        batch.x, batch.y, tables.cam_mapx_i16, tables.cam_mapy_i16
+    )
+    priority = None
+    if cfg.frame_filter != "none":
+        fb = apply_frame_filter(
+            batch,
+            xr,
+            name=cfg.frame_filter,
+            camera_width=cfg.camera_width,
+            camera_height=cfg.camera_height,
+            rect_width=cfg.rect_width,
+        )
+        batch = fb.batch
+        priority = fb.scatter_priority
+
     res: DisparityResult = compute_event_disparity(
         batch,
         tables.cam_mapx_i16,
         tables.cam_mapy_i16,
         tables.x_map,
         t_px_scale=cfg.t_px_scale,
+        rect_coords=(xr, yr),
     )
 
     if cfg.camera_perspective:
-        disp_map = scatter_disp_last_wins(
-            batch.y,
-            batch.x,
-            res.disp,
-            res.inlier,
-            height=cfg.camera_height,
-            width=cfg.camera_width,
+        disp_map = unpack_disp(
+            scatter_disp_packed(
+                batch.y,
+                batch.x,
+                res.disp,
+                res.inlier,
+                height=cfg.camera_height,
+                width=cfg.camera_width,
+                priority=priority,
+            )
         )
         disp_for_depth = disp_map
     else:
-        disp_rect = scatter_disp_last_wins(
-            res.y_rect,
-            res.x_rect + res.disp.astype(jnp.int32),
-            res.disp,
-            res.inlier,
-            height=cfg.rect_height,
-            width=cfg.rect_width,
+        disp_rect = unpack_disp(
+            scatter_disp_packed(
+                res.y_rect,
+                res.x_rect + res.disp.astype(jnp.int32),
+                res.disp,
+                res.inlier,
+                height=cfg.rect_height,
+                width=cfg.rect_width,
+                priority=priority,
+            )
         )
         dilated = dilate_max(disp_rect, 7)
         disp_for_depth = remap_nearest_i16(

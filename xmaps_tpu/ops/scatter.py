@@ -26,6 +26,10 @@ __all__ = ["scatter_disp_last_wins", "scatter_disp_packed", "unpack_disp", "PACK
 #: int32: 65537 * 8192 = 5.4e8 < 2^31.
 PACK = 8192
 
+#: Disparity field width when the priority is a pixel raster index (frame
+#: dedup filter paths); (max_key + 1) * PACK_WIDE must fit in uint32.
+PACK_WIDE = 4096
+
 
 def scatter_disp_packed(
     ys: jax.Array,
@@ -36,13 +40,17 @@ def scatter_disp_packed(
     height: int,
     width: int,
     index_offset: jax.Array | int = 0,
+    priority: jax.Array | None = None,
 ) -> jax.Array:
     """Scatter index-packed disparities with max; returns the packed map.
 
-    ``index_offset`` shifts the event indices used for the last-write-wins
-    priority, so event shards on different devices keep globally consistent
-    ordering: the partial packed maps combine exactly with an elementwise
-    max (see parallel.sharding for the pmax-composed version).
+    The last-write-wins priority is the event index by default (NumPy
+    fancy-indexing order); ``index_offset`` shifts it so event shards on
+    different devices keep globally consistent ordering (partial packed
+    maps then combine exactly with an elementwise max -- see
+    parallel.sharding).  ``priority`` overrides it entirely: the frame
+    dedup filters re-emit events in pixel raster order, so their scatters
+    use the raster index as priority (ops.filters).
     """
     n = ys.shape[0]
     disp_i = disp.astype(jnp.int32)
@@ -55,8 +63,25 @@ def scatter_disp_packed(
         & (disp_i >= 0)
         & (disp_i < PACK)
     )
-    idx = jnp.arange(n, dtype=jnp.int32) + index_offset
-    packed = jnp.where(ok, (idx + 1) * PACK + disp_i, 0)
+    if priority is None:
+        priority = jnp.arange(n, dtype=jnp.int32) + index_offset
+        packed = jnp.where(ok, (priority + 1) * PACK + disp_i, 0)
+    else:
+        # Filter paths: priorities are pixel raster indices (up to ~1e6), so
+        # pack into uint32 with a smaller disparity field.  Valid for
+        # (max_key + 1) * PACK_WIDE <= 2^32, asserted by the caller.
+        ok = ok & (disp_i < PACK_WIDE)
+        packed = jnp.where(
+            ok,
+            (priority.astype(jnp.uint32) + 1) * jnp.uint32(PACK_WIDE)
+            + disp_i.astype(jnp.uint32),
+            jnp.uint32(0),
+        )
+        flat = jnp.zeros((height * width,), dtype=jnp.uint32)
+        ys_s = jnp.where(ok, ys, height)
+        lin = ys_s * width + xs
+        flat = flat.at[lin].max(packed, mode="drop")
+        return flat.reshape(height, width)
     # Out-of-bounds scatter indices are dropped; route masked lanes there.
     ys_s = jnp.where(ok, ys, height)
     flat = jnp.zeros((height * width,), dtype=jnp.int32)
@@ -67,7 +92,8 @@ def scatter_disp_packed(
 
 def unpack_disp(packed: jax.Array) -> jax.Array:
     """Recover the float32 disparity map from a packed map."""
-    return (packed % PACK).astype(jnp.float32)
+    pack = PACK_WIDE if packed.dtype == jnp.uint32 else PACK
+    return (packed % pack).astype(jnp.float32)
 
 
 def scatter_disp_last_wins(

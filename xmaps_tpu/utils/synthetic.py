@@ -19,7 +19,11 @@ from xmaps_tpu.calib.maps import (
     generate_linear_projector_time_map,
 )
 
-__all__ = ["make_synthetic_calibration", "simulate_plane_events"]
+__all__ = [
+    "make_synthetic_calibration",
+    "simulate_plane_events",
+    "simulate_sequence",
+]
 
 
 def make_synthetic_calibration(
@@ -77,6 +81,8 @@ def simulate_plane_events(
     rng: np.random.Generator | None = None,
     jitter_us: float = 0.0,
     subsample: float = 1.0,
+    scan_fraction: float = 1.0,
+    t_offset_us: int = 0,
 ):
     """Simulate one frame of events from a fronto-parallel plane.
 
@@ -121,10 +127,17 @@ def simulate_plane_events(
     vi = np.rint(v).astype(np.int64)
 
     inb = (ui >= 0) & (ui < calib.camera_width) & (vi >= 0) & (vi < calib.camera_height)
-    t_us = (t_norm * frame_us).astype(np.float64)
+    scan_us = frame_us * scan_fraction  # < 1.0 models vertical blanking
+    t_us = (t_norm * scan_us).astype(np.float64)
     if jitter_us > 0:
         t_us = t_us + rng.normal(0, jitter_us, t_us.shape)
-    t_us = np.clip(np.rint(t_us), 0, frame_us).astype(np.int64)
+    # clip to the scan window so inter-frame spans never exceed the period,
+    # and pin the scan-end event so pause-to-pause spans are exactly the
+    # frame period (real scans end at a fixed phase of the vsync)
+    t_us = np.clip(np.rint(t_us), 0, int(scan_us)).astype(np.int64)
+    if len(t_us):
+        t_us[np.argmax(t_us)] = int(scan_us)
+    t_us = t_us + t_offset_us
 
     events = np.zeros(
         int(inb.sum()),
@@ -136,3 +149,38 @@ def simulate_plane_events(
     events["t"] = t_us[inb]
     order = np.argsort(events["t"], kind="stable")
     return events[order]
+
+
+def simulate_sequence(
+    calib: CalibrationParams,
+    depths_m,
+    fps: int = 60,
+    scan_fraction: float = 0.85,
+    subsample: float = 1.0,
+    jitter_us: float = 2.0,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """Simulate a multi-frame event stream at projector frame rate.
+
+    One plane per frame (depths_m[k] for frame k), with vertical-blanking
+    pauses between frames so the trigger finder can segment the stream
+    (reference: trigger_finder.py:146-189 relies on inter-frame gaps).
+    Returns a single time-sorted structured array.
+    """
+    rng = rng or np.random.default_rng(0)
+    # floor: the frame span test is `span <= 1e6/fps` (trigger_finder.py:169)
+    frame_us = int(1e6 / fps)
+    frames = []
+    for k, z in enumerate(depths_m):
+        ev = simulate_plane_events(
+            calib,
+            depth_m=float(z),
+            frame_us=frame_us,
+            rng=rng,
+            jitter_us=jitter_us,
+            subsample=subsample,
+            scan_fraction=scan_fraction,
+            t_offset_us=k * frame_us,
+        )
+        frames.append(ev)
+    return np.concatenate(frames)
