@@ -100,6 +100,30 @@ def test_recovered_depth_physical(rig):
         assert abs(med - z_true) < 0.05, f"median depth {med} vs {z_true}"
 
 
+def test_full_frame_with_pallas_tail_matches_xla(rig):
+    """The fused Pallas tail path must be bit-exact with the XLA tail end
+    to end (interpret mode on CPU)."""
+    from xmaps_tpu.ops.pallas_tail import build_tail_plan
+
+    calib, maps, x_map, cfg, tables = rig
+    plan = build_tail_plan(
+        maps.disp_proj_mapx_i16,
+        maps.disp_proj_mapy_i16,
+        calib.rect_image_height,
+        calib.rect_image_width,
+        p03=float(maps.P2[0, 3]),
+        z_near=cfg.z_near,
+        z_far=cfg.z_far,
+    )
+    events = simulate_plane_events(calib, depth_m=0.55, jitter_us=3.0)
+    batch = EventBatch.from_structured(events, cfg.event_capacity)
+    ref = depth_frame(batch, tables, cfg)
+    out = depth_frame(batch, tables, cfg, tail_plan=plan, pallas_interpret=True)
+    np.testing.assert_array_equal(np.asarray(out.disp_map), np.asarray(ref.disp_map))
+    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out.frame_bgr), np.asarray(ref.frame_bgr))
+
+
 def test_jitted_fn_stable_across_frames(rig):
     calib, maps, x_map, cfg, tables = rig
     fn = make_depth_frame_fn(cfg, donate=False)

@@ -1,0 +1,83 @@
+"""Fused Pallas tail kernel vs the XLA/oracle tail (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from xmaps_tpu.calib.maps import CamProjMaps
+from xmaps_tpu.ops.image_tail import (
+    clip_normalize_u8,
+    colorize_turbo,
+    dilate_max,
+    disparity_to_depth,
+    remap_nearest_i16,
+)
+from xmaps_tpu.ops.pallas_tail import build_tail_plan, pallas_tail
+from xmaps_tpu.utils.synthetic import make_synthetic_calibration
+
+
+@pytest.fixture(scope="module")
+def rig():
+    calib = make_synthetic_calibration()
+    maps = CamProjMaps(calib)
+    plan = build_tail_plan(
+        maps.disp_proj_mapx_i16,
+        maps.disp_proj_mapy_i16,
+        calib.rect_image_height,
+        calib.rect_image_width,
+        p03=float(maps.P2[0, 3]),
+        z_near=0.2,
+        z_far=1.2,
+    )
+    return calib, maps, plan
+
+
+def _xla_tail(disp_rect, maps, z_near, z_far):
+    dil = dilate_max(disp_rect, 7)
+    rm = remap_nearest_i16(
+        dil, jnp.asarray(maps.disp_proj_mapx_i16), jnp.asarray(maps.disp_proj_mapy_i16)
+    )
+    depth = disparity_to_depth(rm, jnp.float32(maps.P2[0, 3]))
+    u8 = clip_normalize_u8(depth, z_near, z_far)
+    return colorize_turbo(u8), depth
+
+
+def test_plan_shapes(rig):
+    calib, maps, plan = rig
+    assert plan.RB % 8 == 0 and plan.CB % 128 == 0
+    assert plan.GR * 32 >= calib.projector_height
+    assert plan.GC * 128 >= calib.projector_width
+    # all used rows must fall inside the band
+    used = plan.x_abs >= 0
+    Y = maps.disp_proj_mapy_i16.astype(np.int64)
+    Yc = np.clip(Y, 0, plan.H - 1)
+
+
+def test_pallas_tail_matches_xla(rig, rng):
+    calib, maps, plan = rig
+    H, W = calib.rect_image_height, calib.rect_image_width
+    # sparse disparity map like a scattered frame
+    disp = np.zeros((H, W), np.float32)
+    n = 2000
+    ys = rng.integers(0, H, n)
+    xs = rng.integers(0, W, n)
+    disp[ys, xs] = rng.integers(1, 160, n).astype(np.float32)
+
+    frame_p, depth_p, disp_p = pallas_tail(jnp.asarray(disp), plan, interpret=True)
+    frame_x, depth_x = _xla_tail(jnp.asarray(disp), maps, 0.2, 1.2)
+
+    np.testing.assert_allclose(
+        np.asarray(depth_p), np.asarray(depth_x), rtol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(frame_p), np.asarray(frame_x))
+
+
+def test_pallas_tail_empty(rig):
+    calib, maps, plan = rig
+    H, W = calib.rect_image_height, calib.rect_image_width
+    disp = jnp.zeros((H, W), jnp.float32)
+    frame_p, depth_p, disp_p = pallas_tail(disp, plan, interpret=True)
+    assert (np.asarray(depth_p) == 0).all()
+    assert (np.asarray(frame_p) == 255).all()  # all undefined -> white

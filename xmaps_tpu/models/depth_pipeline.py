@@ -51,11 +51,14 @@ class XMapsDepthEngine:
     tables: DeviceTables
     x_map_np: np.ndarray
     time_map_rect: np.ndarray
+    tail_plan: object = None  # ops.pallas_tail.TailPlan when enabled
 
     _frame_fn: object = field(init=False, default=None, repr=False)
 
     def __post_init__(self):
-        self._frame_fn = make_depth_frame_fn(self.cfg, donate=False)
+        self._frame_fn = make_depth_frame_fn(
+            self.cfg, donate=False, tail_plan=self.tail_plan
+        )
 
     # -- construction --------------------------------------------------
 
@@ -73,6 +76,7 @@ class XMapsDepthEngine:
         projector_time_map_path: Optional[str] = None,
         xmap_cache_dir: Optional[str] = None,
         use_device_xmap_build: bool = True,
+        use_pallas_tail: Optional[bool] = None,
     ) -> "XMapsDepthEngine":
         cfg = PipelineConfig(
             camera_width=calib.camera_width,
@@ -101,12 +105,32 @@ class XMapsDepthEngine:
         )
 
         tables = DeviceTables.from_maps(maps, x_map_np)
+
+        # The fused Pallas tail kernel runs on TPU; CPU tests use the XLA
+        # path (the Pallas interpreter is functional but slow).
+        if use_pallas_tail is None:
+            use_pallas_tail = jax.default_backend() not in ("cpu",)
+        tail_plan = None
+        if use_pallas_tail and not camera_perspective:
+            from xmaps_tpu.ops.pallas_tail import build_tail_plan
+
+            tail_plan = build_tail_plan(
+                maps.disp_proj_mapx_i16,
+                maps.disp_proj_mapy_i16,
+                calib.rect_image_height,
+                calib.rect_image_width,
+                p03=float(maps.P2[0, 3]),
+                z_near=z_near,
+                z_far=z_far,
+            )
+
         return XMapsDepthEngine(
             cfg=cfg,
             maps=maps,
             tables=tables,
             x_map_np=x_map_np,
             time_map_rect=time_map_rect,
+            tail_plan=tail_plan,
         )
 
     @staticmethod
@@ -186,4 +210,6 @@ class XMapsDepthEngine:
     def set_frame_filter(self, name: str):
         """Swap the frame dedup filter (recompiles once per new filter)."""
         self.cfg = self.cfg.replace(frame_filter=name)
-        self._frame_fn = make_depth_frame_fn(self.cfg, donate=False)
+        self._frame_fn = make_depth_frame_fn(
+            self.cfg, donate=False, tail_plan=self.tail_plan
+        )

@@ -1,0 +1,402 @@
+"""Fused Pallas TPU kernel for the dense image tail.
+
+Replaces the XLA chain dilate -> remap -> depth -> normalize -> colorize
+(reference: disp_to_depth.py:76-115) with ONE kernel over output tiles.
+XLA's general gather on TPU costs ~10ns/element (~9.5 ms for the 921k-pixel
+remap); this kernel exploits the static smoothness of the rectification
+maps instead:
+
+- For each (32, 128) output tile, the source pixels live in a small
+  axis-aligned band of the rectified disparity map (the maps are
+  near-affine: ~1.03 px/row vertically, ~2.44 px/col horizontally, plus a
+  few pixels of lens distortion).  The band (RB x CB, precomputed bounds)
+  is DMA'd to VMEM.
+- The 7x7 max-dilation runs on the band in VMEM (separable shifted maxes;
+  the +3 halo is included in the band, and zero padding equals
+  border-replicate for non-negative disparity).
+- The 2D gather decomposes into two exact 1D steps:
+  (a) row alignment: aligned[s, c] = dilated[yhat(i0+s, c) - row0, c],
+      where yhat places, for every output row, the needed source row at
+      every source column it reads (scattered at init, gap-filled with the
+      nearest used column);  executed as Mosaic sublane dynamic_gathers
+      ((8, 128) table/index) with select-over-row-groups;
+  (b) column gather: out[s, l] = aligned[s, X(i0+s, j) - col0], as lane
+      dynamic_gathers with select-over-128-column-groups.
+  Step (b) evaluates yhat exactly at the scattered positions, so the
+  composition equals dilated[Y(i,j), X(i,j)] bit-for-bit.
+- depth = P[0,3]/disp, u8 normalization (C-truncation) and the 256-entry
+  TURBO colormap (two lane gathers over the split LUT halves + select)
+  fuse into the same tile pass.
+
+Everything indexful is precomputed on host at init into a TailPlan.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xmaps_tpu.utils.colormap import TURBO_BGR_U8
+
+__all__ = ["TailPlan", "build_tail_plan", "pallas_tail"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclass(frozen=True)
+class TailPlan:
+    """Static gather plan for the fused tail kernel (host-precomputed)."""
+
+    H: int  # rectified image height (unpadded)
+    W: int
+    H_pad: int  # padded rect dims (row0/col0 clamps stay in-bounds)
+    W_pad: int
+    Hp: int  # output (projector) height
+    Wp: int
+    Hp_pad: int
+    Wp_pad: int
+    RB: int  # band rows per tile (multiple of 8)
+    CB: int  # band cols per tile (multiple of 128)
+    GR: int  # grid rows (Hp_pad / 32)
+    GC: int  # grid cols (Wp_pad / 128)
+
+    row0: np.ndarray  # (GR*GC,) i32 band row starts
+    col0: np.ndarray  # (GR*GC,) i32 band col starts
+    #: (Hp_pad, Wp_pad) i32: absolute rect col; bit 20 selects the yhat slot
+    #: (two output pixels can share a rect column with different source
+    #: rows at i16 rounding boundaries); -1 if out of bounds
+    x_abs: np.ndarray
+    yhat_a: np.ndarray  # (Hp_pad, W_pad) i16 source row per rect col (last writer)
+    yhat_b: np.ndarray  # (Hp_pad, W_pad) i16 source row per rect col (first writer)
+
+    p03: float
+    z_near: float
+    z_far: float
+
+
+def build_tail_plan(
+    proj_mapx_i16: np.ndarray,
+    proj_mapy_i16: np.ndarray,
+    rect_height: int,
+    rect_width: int,
+    p03: float,
+    z_near: float,
+    z_far: float,
+) -> TailPlan:
+    """Precompute band bounds and the two-pass gather tables."""
+    Hp, Wp = proj_mapx_i16.shape
+    H, W = rect_height, rect_width
+
+    X = proj_mapx_i16.astype(np.int64)
+    Y = proj_mapy_i16.astype(np.int64)
+    inb = (X >= 0) & (X < W) & (Y >= 0) & (Y < H)
+    Xc = np.clip(X, 0, W - 1)
+    Yc = np.clip(Y, 0, H - 1)
+
+    Hp_pad = _round_up(Hp, 32)
+    Wp_pad = _round_up(Wp, 128)
+    GR, GC = Hp_pad // 32, Wp_pad // 128
+
+    def pad_edge(a, rows, cols):
+        return np.pad(a, ((0, rows - a.shape[0]), (0, cols - a.shape[1])), mode="edge")
+
+    Xp = pad_edge(Xc, Hp_pad, Wp_pad)
+    Yp = pad_edge(Yc, Hp_pad, Wp_pad)
+    inbp = pad_edge(inb.astype(np.int8), Hp_pad, Wp_pad).astype(bool)
+
+    # per-tile source extents (+3 dilate halo on each side)
+    ty = Yp.reshape(GR, 32, GC, 128)
+    tx = Xp.reshape(GR, 32, GC, 128)
+    ymin = ty.min(axis=(1, 3)) - 3
+    ymax = ty.max(axis=(1, 3)) + 3
+    xmin = tx.min(axis=(1, 3)) - 3
+    xmax = tx.max(axis=(1, 3)) + 3
+
+    # Band starts must be tile-aligned (Mosaic memref slicing: sublane
+    # tiling 8, lane tiling 128); quantize down and widen the band.
+    row0q = (np.maximum(ymin, 0) // 8) * 8
+    col0q = (np.maximum(xmin, 0) // 128) * 128
+    RB = _round_up(int((ymax - row0q).max()) + 1, 8)
+    CB = _round_up(int((xmax - col0q).max()) + 1, 128)
+    H_pad = _round_up(max(H, RB), 8)
+    W_pad = _round_up(max(W, CB), 128)
+
+    row0 = np.clip(row0q, 0, H_pad - RB).astype(np.int32)
+    col0 = np.clip(col0q, 0, W_pad - CB).astype(np.int32)
+
+    # yhat: for each output row, the source row needed at each source col it
+    # reads; gaps filled with the nearest used column's value.  Two output
+    # pixels can round to the same rect column with source rows differing by
+    # one (i16 rounding boundaries), so two slots are kept: last writer and
+    # first writer; a per-output-pixel bit picks the right one.
+    yhat_a = np.zeros((Hp_pad, W_pad), dtype=np.int16)
+    yhat_b = np.zeros((Hp_pad, W_pad), dtype=np.int16)
+    use_b = np.zeros((Hp_pad, Wp_pad), dtype=bool)
+    cols = np.arange(W_pad)
+    for i in range(Hp_pad):
+        # deterministic first/last-writer maps via np.unique (duplicate-index
+        # fancy assignment order is undefined behavior in NumPy)
+        xp_i, yp_i = Xp[i], Yp[i]
+        u, first_idx = np.unique(xp_i, return_index=True)
+        _, ridx = np.unique(xp_i[::-1], return_index=True)
+        last_idx = len(xp_i) - 1 - ridx
+        row_a = np.full(W_pad, -1, dtype=np.int64)
+        row_a[u] = yp_i[last_idx]  # last j wins
+        row_b = np.full(W_pad, -1, dtype=np.int64)
+        row_b[u] = yp_i[first_idx]  # first j wins
+        valid = row_a >= 0
+        if not valid.any():
+            continue
+        idx = np.where(valid, cols, 0)
+        np.maximum.accumulate(idx, out=idx)  # nearest valid to the left
+        first = int(np.argmax(valid))
+        idx[:first] = first  # leading gap -> first valid
+        yhat_a[i] = row_a[idx]
+        yhat_b[i] = row_b[idx]
+        not_a = Yp[i] != yhat_a[i][Xp[i]]
+        use_b[i] = not_a
+        # every pixel must be served by one of the two slots
+        bad = not_a & (Yp[i] != yhat_b[i][Xp[i]])
+        if bad.any():
+            raise AssertionError(
+                f"tail plan: >2 distinct source rows collide at output row {i}"
+            )
+    x_abs = np.where(inbp, Xp + (use_b.astype(np.int64) << 20), -1).astype(
+        np.int32
+    )
+
+    return TailPlan(
+        H=H, W=W, H_pad=H_pad, W_pad=W_pad,
+        Hp=Hp, Wp=Wp, Hp_pad=Hp_pad, Wp_pad=Wp_pad,
+        RB=RB, CB=CB, GR=GR, GC=GC,
+        row0=row0.reshape(-1), col0=col0.reshape(-1),
+        x_abs=x_abs, yhat_a=yhat_a, yhat_b=yhat_b,
+        p03=float(p03), z_near=float(z_near), z_far=float(z_far),
+    )
+
+
+def _shift_max_lanes(a, s):
+    """max(a, a shifted by +-s lanes, vacated lanes = -inf)."""
+    neg = jnp.full_like(a[:, :s], -jnp.inf)
+    left = jnp.concatenate([a[:, s:], neg], axis=1)
+    right = jnp.concatenate([neg, a[:, :-s]], axis=1)
+    return jnp.maximum(a, jnp.maximum(left, right))
+
+
+def _shift_max_sublanes(a, s):
+    neg = jnp.full_like(a[:s, :], -jnp.inf)
+    up = jnp.concatenate([a[s:, :], neg], axis=0)
+    down = jnp.concatenate([neg, a[:-s, :]], axis=0)
+    return jnp.maximum(a, jnp.maximum(up, down))
+
+
+def _tail_kernel(
+    row0_ref,
+    col0_ref,
+    x_abs_ref,
+    lut_ref,
+    disp_ref,
+    yhat_a_ref,
+    yhat_b_ref,
+    disp_out_ref,
+    depth_ref,
+    b_ref,
+    g_ref,
+    r_ref,
+    band,
+    yh_a,
+    yh_b,
+    sems,
+    *,
+    plan: TailPlan,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    RB, CB = plan.RB, plan.CB
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    tile = i * plan.GC + j
+    row0 = pl.multiple_of(row0_ref[tile], 8)
+    col0 = pl.multiple_of(col0_ref[tile], 128)
+
+    dmas = [
+        pltpu.make_async_copy(
+            disp_ref.at[pl.ds(row0, RB), pl.ds(col0, CB)], band, sems.at[0]
+        ),
+        pltpu.make_async_copy(
+            yhat_a_ref.at[pl.ds(i * 32, 32), pl.ds(col0, CB)], yh_a, sems.at[1]
+        ),
+        pltpu.make_async_copy(
+            yhat_b_ref.at[pl.ds(i * 32, 32), pl.ds(col0, CB)], yh_b, sems.at[2]
+        ),
+    ]
+    for dma in dmas:
+        dma.start()
+    for dma in dmas:
+        dma.wait()
+
+    # --- dilate the band in VMEM (separable 7x7 max) -----------------------
+    # shifted maxes compose: radius 1 then 2 covers the +-3 (7-wide) window
+    d = band[:]
+    for s in (1, 2):
+        d = _shift_max_lanes(d, s)
+    for s in (1, 2):
+        d = _shift_max_sublanes(d, s)
+
+    # --- per-tile tables ---------------------------------------------------
+    # (32, CB) band-relative source rows, both collision slots
+    R_a = yh_a[:].astype(jnp.int32) - row0
+    R_b = yh_b[:].astype(jnp.int32) - row0
+    X_enc = x_abs_ref[:]  # (32, 128): abs col | slot bit 20; -1 OOB
+    oob = X_enc < 0
+    use_b = (X_enc >> 20) & 1
+    X = X_enc & ((1 << 20) - 1)
+    dxr = jnp.clip(X - col0, 0, CB - 1)
+    grp = dxr // 128
+    off = dxr % 128
+
+    n_rowgrp = RB // 8
+    n_colgrp = CB // 128
+
+    def row_align(Rqg, gc):
+        """step (a): aligned[s, l] = d[Rqg[s, l], gc-col-group l]"""
+        hsel = Rqg // 8
+        acc = jnp.zeros((8, 128), jnp.float32)
+        for h in range(n_rowgrp):
+            tab = d[h * 8 : (h + 1) * 8, gc * 128 : (gc + 1) * 128]
+            idx = jnp.clip(Rqg - h * 8, 0, 7)
+            got = jnp.take_along_axis(tab, idx, axis=0)
+            acc = jnp.where(hsel == h, got, acc)
+        return acc
+
+    out_rows = []
+    for q in range(4):  # 8-row sub-blocks of the 32 output rows
+        sl = slice(q * 8, (q + 1) * 8)
+        offq = off[sl, :]
+        grpq = grp[sl, :]
+        useq = use_b[sl, :]
+        outq = jnp.zeros((8, 128), jnp.float32)
+        for gc in range(n_colgrp):
+            csl = slice(gc * 128, (gc + 1) * 128)
+            al_a = row_align(R_a[sl, csl], gc)
+            al_b = row_align(R_b[sl, csl], gc)
+            got_a = jnp.take_along_axis(al_a, offq, axis=1)
+            got_b = jnp.take_along_axis(al_b, offq, axis=1)
+            got = jnp.where(useq == 1, got_b, got_a)
+            outq = jnp.where(grpq == gc, got, outq)
+        out_rows.append(outq)
+    disp = jnp.concatenate(out_rows, axis=0)  # (32, 128)
+    disp = jnp.where(oob, 0.0, disp)
+    disp_out_ref[:] = disp
+
+    # --- depth + normalize + colorize (reference disp_to_depth.py:7-63) ----
+    safe = jnp.where(disp == 0.0, 1.0, disp)
+    depth = jnp.maximum(jnp.float32(plan.p03) / safe, 1e-9)
+    depth = jnp.where(disp == 0.0, 0.0, depth)
+    depth_ref[:] = depth
+
+    zn = jnp.float32(plan.z_near)
+    zf = jnp.float32(plan.z_far)
+    val = jnp.clip(depth, zn, zf)
+    val = (val - zn) / (zf - zn) * 255.0
+    val = jnp.where(depth == 0.0, 0.0, val)
+    u8 = jnp.clip(val, 0.0, 255.0).astype(jnp.int32)  # C truncation
+
+    lut = lut_ref[:]  # (8, 768) i32: [B_lo B_hi G_lo G_hi R_lo R_hi]
+    white = u8 == 0
+    for ch, out_ref in ((0, b_ref), (1, g_ref), (2, r_ref)):
+        tab_lo = lut[:, ch * 256 : ch * 256 + 128]
+        tab_hi = lut[:, ch * 256 + 128 : ch * 256 + 256]
+        chunks = []
+        for q in range(4):
+            idx = u8[q * 8 : (q + 1) * 8, :] & 127
+            hi = u8[q * 8 : (q + 1) * 8, :] >= 128
+            lo_v = jnp.take_along_axis(tab_lo, idx, axis=1)
+            hi_v = jnp.take_along_axis(tab_hi, idx, axis=1)
+            chunks.append(jnp.where(hi, hi_v, lo_v))
+        color = jnp.concatenate(chunks, axis=0)
+        color = jnp.where(white, 255, color)
+        out_ref[:] = color.astype(jnp.uint8)
+
+
+def _make_lut() -> np.ndarray:
+    """(8, 768) i32: per channel, the 256-entry TURBO LUT split into two
+    128-lane halves, rows broadcast for sublane-uniform gathers."""
+    lut = np.zeros((8, 768), dtype=np.int32)
+    for ch in range(3):  # BGR
+        vals = TURBO_BGR_U8[:, ch].astype(np.int32)
+        lut[:, ch * 256 : ch * 256 + 128] = vals[:128][None, :]
+        lut[:, ch * 256 + 128 : ch * 256 + 256] = vals[128:][None, :]
+    return lut
+
+
+def pallas_tail(disp_rect: jax.Array, plan: TailPlan, interpret: bool = False):
+    """disp_rect (H, W) f32 -> (frame_bgr (Hp, Wp, 3) u8, depth (Hp, Wp) f32,
+    disp_proj (Hp, Wp) f32 is recoverable as p03/depth but returned depth
+    suffices for parity with the XLA tail)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, W = disp_rect.shape
+    assert (H, W) == (plan.H, plan.W)
+    disp_pad = jnp.pad(
+        disp_rect, ((0, plan.H_pad - H), (0, plan.W_pad - W))
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(plan.GR, plan.GC),
+        in_specs=[
+            pl.BlockSpec(
+                (32, 128), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lut, full
+            pl.BlockSpec(memory_space=pl.ANY),  # disp_pad
+            pl.BlockSpec(memory_space=pl.ANY),  # yhat_a
+            pl.BlockSpec(memory_space=pl.ANY),  # yhat_b
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (32, 128), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
+            )
+        ]
+        * 5,
+        scratch_shapes=[
+            pltpu.VMEM((plan.RB, plan.CB), jnp.float32),
+            pltpu.VMEM((32, plan.CB), jnp.int16),
+            pltpu.VMEM((32, plan.CB), jnp.int16),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+
+    kernel = functools.partial(_tail_kernel, plan=plan)
+    out_shapes = [
+        jax.ShapeDtypeStruct((plan.Hp, plan.Wp), jnp.float32),
+        jax.ShapeDtypeStruct((plan.Hp, plan.Wp), jnp.float32),
+        jax.ShapeDtypeStruct((plan.Hp, plan.Wp), jnp.uint8),
+        jax.ShapeDtypeStruct((plan.Hp, plan.Wp), jnp.uint8),
+        jax.ShapeDtypeStruct((plan.Hp, plan.Wp), jnp.uint8),
+    ]
+    disp_out, depth, b, g, r = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(
+        jnp.asarray(plan.row0),
+        jnp.asarray(plan.col0),
+        jnp.asarray(plan.x_abs),
+        jnp.asarray(_make_lut()),
+        disp_pad,
+        jnp.asarray(plan.yhat_a),
+        jnp.asarray(plan.yhat_b),
+    )
+    frame = jnp.stack([b, g, r], axis=-1)
+    return frame, depth, disp_out
