@@ -70,6 +70,8 @@ def main():
     jax.block_until_ready(out)
 
     # Synchronous per-frame latency (dispatch + compute + fetch sync).
+    # Under a tunneled device this is dominated by host<->device RTT, not
+    # compute; the batched measurement below is the compute-bound figure.
     lat = []
     for i in range(60):
         b = frames[i % len(frames)]
@@ -80,17 +82,36 @@ def main():
     p50_ms = float(np.percentile(lat, 50) * 1e3)
     p95_ms = float(np.percentile(lat, 95) * 1e3)
 
-    # Pipelined throughput (async dispatch, block at end) -- the streaming
-    # regime with double-buffered feeding.
-    n_iters = 240
+    # Batched throughput: F independent frames per dispatch (the offline
+    # eval / multi-camera streaming regime; frames are independent, SURVEY
+    # §2.3).  One jitted program unrolls all F frame pipelines so XLA
+    # schedules them back to back -- dispatch overhead amortizes and the
+    # per-frame device time is what remains.
+    from xmaps_tpu.ops.frame_pipeline import depth_frame
+
+    F = len(frames)
+    tables = engine.tables
+    cfg = engine.cfg
+    tp = engine.tail_plan
+
+    @jax.jit
+    def run_group(bs):
+        return [
+            depth_frame(b, tables, cfg, tail_plan=tp) for b in bs
+        ]
+
+    out = run_group(frames)
+    jax.block_until_ready(out)
+    n_groups = 40
     outs = []
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        outs.append(fn(frames[i % len(frames)], engine.tables))
-        if len(outs) > 4:
-            outs.pop(0)  # keep a small in-flight window
+    for i in range(n_groups):
+        outs.append(run_group(frames))
+        if len(outs) > 3:
+            outs.pop(0)
     jax.block_until_ready(outs)
     total_s = time.perf_counter() - t0
+    n_iters = n_groups * F
     frame_ms = total_s / n_iters * 1e3
     mevents_s = n_events * n_iters / total_s / 1e6
 

@@ -28,6 +28,8 @@ from xmaps_tpu.ops.event_batch import EventBatch
 
 __all__ = [
     "rectify_events",
+    "rectify_events_packed",
+    "pack_rect_maps",
     "compute_event_disparity",
     "time_bounds",
     "DisparityResult",
@@ -56,6 +58,35 @@ def rectify_events(
     xc = jnp.clip(x, 0, W - 1)
     xr = mapx_i16[yc, xc].astype(jnp.int32)
     yr = mapy_i16[yc, xc].astype(jnp.int32)
+    return xr, yr
+
+
+def pack_rect_maps(mapx_i16, mapy_i16) -> jax.Array:
+    """Pack the two i16 inverse-rectification LUTs into one int32 table.
+
+    TPU gathers cost ~10 ns/element regardless of width, so fetching both
+    rectified coordinates in a single gather halves the rectify stage.
+    Layout: low 16 bits = mapx, high 16 bits = mapy (both sign-preserved).
+    """
+    lo = jnp.asarray(mapx_i16).astype(jnp.int32) & 0xFFFF
+    hi = jnp.asarray(mapy_i16).astype(jnp.int32) << 16
+    return hi | lo
+
+
+def rectify_events_packed(
+    x: jax.Array, y: jax.Array, map_packed: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Per-event rectification via ONE gather through the packed LUT.
+
+    Bit-identical to :func:`rectify_events` (arithmetic shifts sign-extend
+    the two i16 halves exactly).
+    """
+    H, W = map_packed.shape
+    yc = jnp.clip(y, 0, H - 1)
+    xc = jnp.clip(x, 0, W - 1)
+    packed = map_packed[yc, xc]
+    xr = (packed << 16) >> 16
+    yr = packed >> 16
     return xr, yr
 
 

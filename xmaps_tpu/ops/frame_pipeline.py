@@ -40,6 +40,7 @@ class DeviceTables(NamedTuple):
 
     cam_mapx_i16: jax.Array  # (H_cam, W_cam) int16: cam px -> rect x
     cam_mapy_i16: jax.Array  # (H_cam, W_cam) int16: cam px -> rect y
+    cam_map_packed: jax.Array  # (H_cam, W_cam) int32: mapy<<16 | mapx
     x_map: jax.Array  # (H_rect, W_time) int16
     proj_mapx_i16: jax.Array  # (H_proj, W_proj) int16: proj px -> rect x
     proj_mapy_i16: jax.Array  # (H_proj, W_proj) int16: proj px -> rect y
@@ -47,10 +48,15 @@ class DeviceTables(NamedTuple):
 
     @staticmethod
     def from_maps(cam_proj_maps, x_map: np.ndarray) -> "DeviceTables":
+        from xmaps_tpu.ops.disparity import pack_rect_maps
+
         m = cam_proj_maps
         return DeviceTables(
             cam_mapx_i16=jnp.asarray(m.disp_cam_mapx_i16),
             cam_mapy_i16=jnp.asarray(m.disp_cam_mapy_i16),
+            cam_map_packed=pack_rect_maps(
+                m.disp_cam_mapx_i16, m.disp_cam_mapy_i16
+            ),
             x_map=jnp.asarray(x_map),
             proj_mapx_i16=jnp.asarray(m.disp_proj_mapx_i16),
             proj_mapy_i16=jnp.asarray(m.disp_proj_mapy_i16),
@@ -80,13 +86,11 @@ def depth_frame(
     as the fused Pallas kernel (~30x faster than the XLA chain on TPU);
     otherwise the XLA ops are used (CPU tests, camera view, sharded mesh).
     """
-    from xmaps_tpu.ops.disparity import rectify_events
+    from xmaps_tpu.ops.disparity import rectify_events_packed
     from xmaps_tpu.ops.filters import apply_frame_filter
     from xmaps_tpu.ops.scatter import scatter_disp_packed, unpack_disp
 
-    xr, yr = rectify_events(
-        batch.x, batch.y, tables.cam_mapx_i16, tables.cam_mapy_i16
-    )
+    xr, yr = rectify_events_packed(batch.x, batch.y, tables.cam_map_packed)
     priority = None
     if cfg.frame_filter != "none":
         fb = apply_frame_filter(
