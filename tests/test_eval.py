@@ -65,8 +65,10 @@ def test_combine_depths():
     a = np.array([[50.0, 0.0], [30.0, 0.0]])
     b = np.array([[70.0, 40.0], [0.0, 0.0]])
     combined, avg = combine_depths([a, b], 20, 120)
-    np.testing.assert_allclose(combined, [[60.0, 40.0], [30.0, 0.0]])
-    assert np.isclose(avg, np.mean([60.0, 40.0, 30.0]))
+    # per-pixel mean [[60, 40], [30, 0]], then the reference's 3x3 median
+    # blur (esl_utilities.py combine_mc3d:172) with edge replication
+    np.testing.assert_allclose(combined, [[40.0, 40.0], [30.0, 30.0]])
+    assert np.isclose(avg, np.mean([40.0, 40.0, 30.0, 30.0]))
 
 
 def test_ply_roundtrip(tmp_path, rng):
