@@ -93,11 +93,13 @@ def main():
     tables = engine.tables
     cfg = engine.cfg
     tp = engine.tail_plan
+    ep = engine.event_plan
 
     @jax.jit
     def run_group(bs):
         return [
-            depth_frame(b, tables, cfg, tail_plan=tp) for b in bs
+            depth_frame(b, tables, cfg, tail_plan=tp, event_plan=ep)
+            for b in bs
         ]
 
     out = run_group(frames)

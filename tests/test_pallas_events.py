@@ -1,0 +1,97 @@
+"""Event-gather Pallas kernel vs the XLA reference path (interpret mode on
+CPU; the same comparison runs compiled on TPU in bench/verify runs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xmaps_tpu.models.depth_pipeline import XMapsDepthEngine
+from xmaps_tpu.ops.disparity import (
+    compute_event_disparity,
+    compute_event_disparity_pallas,
+)
+from xmaps_tpu.ops.event_batch import EventBatch
+from xmaps_tpu.ops.frame_pipeline import depth_frame
+from xmaps_tpu.ops.pallas_events import build_event_gather_plan
+from xmaps_tpu.utils.synthetic import (
+    make_synthetic_calibration,
+    simulate_plane_events,
+)
+
+CAPACITY = 2048
+
+
+@pytest.fixture(scope="module")
+def rig():
+    calib = make_synthetic_calibration(
+        camera_width=128, camera_height=96, projector_width=96, projector_height=128
+    )
+    engine = XMapsDepthEngine.from_calibration(
+        calib,
+        event_capacity=CAPACITY,
+        z_near=0.2,
+        z_far=1.2,
+        use_pallas_tail=False,
+        use_pallas_events=False,
+    )
+    events = simulate_plane_events(
+        calib, depth_m=0.6, subsample=0.4, jitter_us=2.0,
+        rng=np.random.default_rng(3),
+    )
+    batch = engine.make_batch(events)
+    plan = build_event_gather_plan(engine.tables.cam_map_packed, engine.x_map_np)
+    return engine, batch, plan
+
+
+def test_disparity_stage_matches_xla(rig):
+    engine, batch, plan = rig
+    t = engine.tables
+    ref = compute_event_disparity(
+        batch, t.cam_mapx_i16, t.cam_mapy_i16, t.x_map,
+        t_px_scale=engine.cfg.t_px_scale,
+    )
+    res, (xs, ys), prio = compute_event_disparity_pallas(
+        batch, plan, t_px_scale=engine.cfg.t_px_scale, interpret=True
+    )
+    # same per-event values after undoing the sort via the carried priority
+    order = np.asarray(prio)
+    np.testing.assert_array_equal(np.asarray(res.x_rect), np.asarray(ref.x_rect)[order])
+    np.testing.assert_array_equal(np.asarray(res.y_rect), np.asarray(ref.y_rect)[order])
+    np.testing.assert_array_equal(np.asarray(res.disp), np.asarray(ref.disp)[order])
+    np.testing.assert_array_equal(np.asarray(res.inlier), np.asarray(ref.inlier)[order])
+    np.testing.assert_array_equal(np.asarray(xs), np.asarray(batch.x)[order])
+    np.testing.assert_array_equal(np.asarray(ys), np.asarray(batch.y)[order])
+
+
+@pytest.mark.parametrize("camera_perspective", [False, True])
+def test_full_frame_bit_exact(rig, camera_perspective):
+    engine, batch, plan = rig
+    cfg = engine.cfg.replace(camera_perspective=camera_perspective)
+    ref = depth_frame(batch, engine.tables, cfg)
+    got = depth_frame(
+        batch, engine.tables, cfg, event_plan=plan, pallas_interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got.disp_map), np.asarray(ref.disp_map))
+    np.testing.assert_array_equal(np.asarray(got.depth), np.asarray(ref.depth))
+    np.testing.assert_array_equal(
+        np.asarray(got.frame_bgr), np.asarray(ref.frame_bgr)
+    )
+    assert int(got.num_inliers) == int(ref.num_inliers)
+
+
+def test_float_t_falls_back(rig):
+    """The eval path (float normalized timestamps) must silently use the
+    XLA path even when an event plan is passed."""
+    engine, batch, plan = rig
+    fbatch = EventBatch(
+        x=batch.x,
+        y=batch.y,
+        t=(batch.t.astype(jnp.float32) / jnp.maximum(batch.t.max(), 1)),
+        p=batch.p,
+        valid=batch.valid,
+        count=batch.count,
+    )
+    ref = depth_frame(fbatch, engine.tables, engine.cfg)
+    got = depth_frame(fbatch, engine.tables, engine.cfg, event_plan=plan)
+    np.testing.assert_array_equal(np.asarray(got.depth), np.asarray(ref.depth))

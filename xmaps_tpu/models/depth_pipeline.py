@@ -52,12 +52,16 @@ class XMapsDepthEngine:
     x_map_np: np.ndarray
     time_map_rect: np.ndarray
     tail_plan: object = None  # ops.pallas_tail.TailPlan when enabled
+    event_plan: object = None  # ops.pallas_events.EventGatherPlan when enabled
 
     _frame_fn: object = field(init=False, default=None, repr=False)
 
     def __post_init__(self):
         self._frame_fn = make_depth_frame_fn(
-            self.cfg, donate=False, tail_plan=self.tail_plan
+            self.cfg,
+            donate=False,
+            tail_plan=self.tail_plan,
+            event_plan=self.event_plan,
         )
 
     # -- construction --------------------------------------------------
@@ -77,6 +81,7 @@ class XMapsDepthEngine:
         xmap_cache_dir: Optional[str] = None,
         use_device_xmap_build: bool = True,
         use_pallas_tail: Optional[bool] = None,
+        use_pallas_events: Optional[bool] = None,
     ) -> "XMapsDepthEngine":
         cfg = PipelineConfig(
             camera_width=calib.camera_width,
@@ -106,10 +111,11 @@ class XMapsDepthEngine:
 
         tables = DeviceTables.from_maps(maps, x_map_np)
 
-        # The fused Pallas tail kernel runs on TPU; CPU tests use the XLA
+        # The fused Pallas kernels run on TPU; CPU tests use the XLA
         # path (the Pallas interpreter is functional but slow).
+        on_accel = jax.default_backend() not in ("cpu",)
         if use_pallas_tail is None:
-            use_pallas_tail = jax.default_backend() not in ("cpu",)
+            use_pallas_tail = on_accel
         tail_plan = None
         if use_pallas_tail and not camera_perspective:
             from xmaps_tpu.ops.pallas_tail import build_tail_plan
@@ -124,6 +130,16 @@ class XMapsDepthEngine:
                 z_far=z_far,
             )
 
+        if use_pallas_events is None:
+            use_pallas_events = on_accel
+        event_plan = None
+        if use_pallas_events and event_capacity % 1024 == 0:
+            from xmaps_tpu.ops.pallas_events import build_event_gather_plan
+
+            event_plan = build_event_gather_plan(
+                tables.cam_map_packed, x_map_np
+            )
+
         return XMapsDepthEngine(
             cfg=cfg,
             maps=maps,
@@ -131,6 +147,7 @@ class XMapsDepthEngine:
             x_map_np=x_map_np,
             time_map_rect=time_map_rect,
             tail_plan=tail_plan,
+            event_plan=event_plan,
         )
 
     @staticmethod
@@ -211,5 +228,8 @@ class XMapsDepthEngine:
         """Swap the frame dedup filter (recompiles once per new filter)."""
         self.cfg = self.cfg.replace(frame_filter=name)
         self._frame_fn = make_depth_frame_fn(
-            self.cfg, donate=False, tail_plan=self.tail_plan
+            self.cfg,
+            donate=False,
+            tail_plan=self.tail_plan,
+            event_plan=self.event_plan,
         )

@@ -31,6 +31,7 @@ __all__ = [
     "rectify_events_packed",
     "pack_rect_maps",
     "compute_event_disparity",
+    "compute_event_disparity_pallas",
     "time_bounds",
     "DisparityResult",
 ]
@@ -130,6 +131,52 @@ def _scale_time_float(
     rng = jnp.maximum(t_max - t_min, jnp.float32(1e-30))
     norm = (t - t_min) / rng
     return jnp.round(norm * jnp.float32(t_px_scale)).astype(jnp.int32)
+
+
+def compute_event_disparity_pallas(
+    batch: EventBatch,
+    plan,
+    *,
+    t_px_scale: int,
+    interpret: bool = False,
+):
+    """Per-event disparity stage through the fused Pallas gather kernel.
+
+    Sorts the batch by raw y on device (all fields carried through one
+    jax.lax.sort -- no gathers) so the kernel's banded table walk touches
+    only a few row groups per block, then applies the identical disparity /
+    inlier math as :func:`compute_event_disparity`.  The original arrival
+    index rides along as the scatter priority, so downstream
+    last-write-wins results are bit-identical to the unsorted path.
+
+    Returns (DisparityResult in sorted order, (x_sorted, y_sorted),
+    priority).  Integer timestamps only (the streaming path).
+    """
+    from xmaps_tpu.ops.pallas_events import rectify_and_lookup
+
+    t_min, t_max = time_bounds(batch.t, batch.valid)
+    t_scaled = _scale_time_int(batch.t, t_min, t_max, t_px_scale)
+
+    n = batch.x.shape[0]
+    prio0 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(n)
+    ys, xs, ts, valid_s, prio = jax.lax.sort(
+        (batch.y, batch.x, t_scaled, batch.valid.astype(jnp.int32), prio0),
+        num_keys=1,
+        is_stable=True,
+    )
+    valid_s = valid_s.astype(jnp.bool_)
+
+    xr, yr, x_proj = rectify_and_lookup(xs, ys, ts, plan, interpret=interpret)
+
+    H_xmap, W_time = plan.xmap_h, plan.xmap_w
+    y_in = (yr >= 0) & (yr < H_xmap - 1) & valid_s
+    disp = x_proj - xr - X_OFFSET
+    inlier = y_in & (disp >= 0) & (ts >= 0) & (ts < W_time)
+    disp_f32 = jnp.where(inlier, disp, 0).astype(jnp.float32)
+    res = DisparityResult(
+        disp=disp_f32, x_rect=xr, y_rect=yr, inlier=inlier, t_scaled=ts
+    )
+    return res, (xs, ys), prio
 
 
 def compute_event_disparity(

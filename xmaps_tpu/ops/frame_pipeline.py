@@ -76,6 +76,7 @@ def depth_frame(
     tables: DeviceTables,
     cfg: PipelineConfig,
     tail_plan=None,
+    event_plan=None,
     pallas_interpret: bool = False,
 ) -> FrameResult:
     """One projector frame of events -> colorized depth map.
@@ -85,39 +86,62 @@ def depth_frame(
     is the projector's, the dense tail (dilate/remap/depth/colorize) runs
     as the fused Pallas kernel (~30x faster than the XLA chain on TPU);
     otherwise the XLA ops are used (CPU tests, camera view, sharded mesh).
+    When ``event_plan`` (ops.pallas_events.EventGatherPlan) is provided,
+    the per-event gathers run as the fused banded Pallas kernel over
+    device-sorted events (bit-identical results; requires integer
+    timestamps and no frame filter -- silently falls back otherwise).
     """
-    from xmaps_tpu.ops.disparity import rectify_events_packed
+    from xmaps_tpu.ops.disparity import (
+        compute_event_disparity_pallas,
+        rectify_events_packed,
+    )
     from xmaps_tpu.ops.filters import apply_frame_filter
     from xmaps_tpu.ops.scatter import scatter_disp_packed, unpack_disp
 
-    xr, yr = rectify_events_packed(batch.x, batch.y, tables.cam_map_packed)
-    priority = None
-    if cfg.frame_filter != "none":
-        fb = apply_frame_filter(
-            batch,
-            xr,
-            name=cfg.frame_filter,
-            camera_width=cfg.camera_width,
-            camera_height=cfg.camera_height,
-            rect_width=cfg.rect_width,
-        )
-        batch = fb.batch
-        priority = fb.scatter_priority
-
-    res: DisparityResult = compute_event_disparity(
-        batch,
-        tables.cam_mapx_i16,
-        tables.cam_mapy_i16,
-        tables.x_map,
-        t_px_scale=cfg.t_px_scale,
-        rect_coords=(xr, yr),
+    use_pallas_events = (
+        event_plan is not None
+        and cfg.frame_filter == "none"
+        and jnp.issubdtype(batch.t.dtype, jnp.integer)
     )
+
+    if use_pallas_events:
+        res, (ev_x, ev_y), priority = compute_event_disparity_pallas(
+            batch,
+            event_plan,
+            t_px_scale=cfg.t_px_scale,
+            interpret=pallas_interpret,
+        )
+    else:
+        ev_x, ev_y = batch.x, batch.y
+        xr, yr = rectify_events_packed(batch.x, batch.y, tables.cam_map_packed)
+        priority = None
+        if cfg.frame_filter != "none":
+            fb = apply_frame_filter(
+                batch,
+                xr,
+                name=cfg.frame_filter,
+                camera_width=cfg.camera_width,
+                camera_height=cfg.camera_height,
+                rect_width=cfg.rect_width,
+            )
+            batch = fb.batch
+            priority = fb.scatter_priority
+            ev_x, ev_y = batch.x, batch.y
+
+        res = compute_event_disparity(
+            batch,
+            tables.cam_mapx_i16,
+            tables.cam_mapy_i16,
+            tables.x_map,
+            t_px_scale=cfg.t_px_scale,
+            rect_coords=(xr, yr),
+        )
 
     if cfg.camera_perspective:
         disp_map = unpack_disp(
             scatter_disp_packed(
-                batch.y,
-                batch.x,
+                ev_y,
+                ev_x,
                 res.disp,
                 res.inlier,
                 height=cfg.camera_height,
@@ -171,10 +195,11 @@ def make_depth_frame_fn(
     cfg: PipelineConfig,
     donate: bool = True,
     tail_plan=None,
+    event_plan=None,
     pallas_interpret: bool = False,
 ):
-    """Build the jitted frame function with cfg (and optional Pallas tail
-    plan) baked in.
+    """Build the jitted frame function with cfg (and optional Pallas tail /
+    event-gather plans) baked in.
 
     ``donate`` donates the event batch buffers so XLA reuses them across
     frames (host->HBM staging stays double-buffered in io.prefetch).
@@ -183,6 +208,7 @@ def make_depth_frame_fn(
         depth_frame,
         cfg=cfg,
         tail_plan=tail_plan,
+        event_plan=event_plan,
         pallas_interpret=pallas_interpret,
     )
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
