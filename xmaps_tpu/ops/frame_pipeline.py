@@ -147,10 +147,42 @@ def depth_frame(
                 height=cfg.camera_height,
                 width=cfg.camera_width,
                 priority=priority,
+                priority_is_event_index=use_pallas_events,
             )
         )
         disp_for_depth = disp_map
     else:
+        if tail_plan is not None:
+            # fused path: scatter the packed map directly at the tail
+            # kernel's padded dims; the kernel unpacks in-band (saves two
+            # full-image passes: unpack + pad)
+            from xmaps_tpu.ops.pallas_tail import pallas_tail
+            from xmaps_tpu.ops.scatter import PACK, PACK_WIDE
+
+            use_wide = priority is not None and not use_pallas_events
+            packed_map = scatter_disp_packed(
+                res.y_rect,
+                res.x_rect + res.disp.astype(jnp.int32),
+                res.disp,
+                res.inlier,
+                height=cfg.rect_height,
+                width=cfg.rect_width,
+                priority=priority,
+                priority_is_event_index=use_pallas_events,
+                pad_shape=(tail_plan.H_pad, tail_plan.W_pad),
+            )
+            frame, depth, disp_map = pallas_tail(
+                packed_map,
+                tail_plan,
+                interpret=pallas_interpret,
+                pack=PACK_WIDE if use_wide else PACK,
+            )
+            return FrameResult(
+                frame_bgr=frame,
+                depth=depth,
+                disp_map=disp_map,
+                num_inliers=jnp.sum(res.inlier).astype(jnp.int32),
+            )
         disp_rect = unpack_disp(
             scatter_disp_packed(
                 res.y_rect,
@@ -160,20 +192,9 @@ def depth_frame(
                 height=cfg.rect_height,
                 width=cfg.rect_width,
                 priority=priority,
+                priority_is_event_index=use_pallas_events,
             )
         )
-        if tail_plan is not None:
-            from xmaps_tpu.ops.pallas_tail import pallas_tail
-
-            frame, depth, disp_map = pallas_tail(
-                disp_rect, tail_plan, interpret=pallas_interpret
-            )
-            return FrameResult(
-                frame_bgr=frame,
-                depth=depth,
-                disp_map=disp_map,
-                num_inliers=jnp.sum(res.inlier).astype(jnp.int32),
-            )
         dilated = dilate_max(disp_rect, 7)
         disp_for_depth = remap_nearest_i16(
             dilated, tables.proj_mapx_i16, tables.proj_mapy_i16

@@ -81,27 +81,29 @@ def _banded_gather(table_ref, rows, lanes, n_colgroups, acc0):
     in [min(rows)//8*8, max(rows)//8*8+8); other lanes keep acc0.
 
     rows/lanes: (8, 128) i32, lanes already in-range of the table width.
+    Inner loop cost: 4 vector ops per (row, column-group) pair -- the
+    (row, colgroup) match is folded into one key compare, and the
+    in-group lane indices are hoisted out of the row loops.
     """
     rg_lo = jnp.min(rows) // 8
     rg_hi = jnp.max(rows) // 8 + 1
+
+    # per-lane key: target row and column group in one comparable word
+    cgi = lanes >> 7
+    key = rows * n_colgroups + cgi
+    l_cg = lanes & 127  # lane index within its column group
 
     def body(rg, acc):
         row0 = pl.multiple_of(rg * 8, 8)
         tab = table_ref[pl.ds(row0, 8), :]
         for s in range(8):
-            match_row = rows == row0 + s
             seg_row = tab[s : s + 1, :]
             for cg in range(n_colgroups):
                 seg = jnp.broadcast_to(
                     seg_row[:, cg * 128 : (cg + 1) * 128], (8, 128)
                 )
-                l = jnp.clip(lanes - cg * 128, 0, 127)
-                v = jnp.take_along_axis(seg, l, axis=1)
-                sel = (
-                    match_row
-                    & (lanes >= cg * 128)
-                    & (lanes < (cg + 1) * 128)
-                )
+                v = jnp.take_along_axis(seg, l_cg, axis=1)
+                sel = key == (row0 + s) * n_colgroups + cg
                 acc = jnp.where(sel, v, acc)
         return acc
 

@@ -215,6 +215,7 @@ def _tail_kernel(
     sems,
     *,
     plan: TailPlan,
+    pack: int = 0,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -245,6 +246,10 @@ def _tail_kernel(
     # --- dilate the band in VMEM (separable 7x7 max) -----------------------
     # shifted maxes compose: radius 1 then 2 covers the +-3 (7-wide) window
     d = band[:]
+    if pack:
+        # packed (priority*PACK + disp) input: unpack in-band (PACK is a
+        # power of two, so this is a bitwise AND -- see ops.scatter)
+        d = (d & (pack - 1)).astype(jnp.float32)
     for s in (1, 2):
         d = _shift_max_lanes(d, s)
     for s in (1, 2):
@@ -337,18 +342,35 @@ def _make_lut() -> np.ndarray:
     return lut
 
 
-def pallas_tail(disp_rect: jax.Array, plan: TailPlan, interpret: bool = False):
-    """disp_rect (H, W) f32 -> (frame_bgr (Hp, Wp, 3) u8, depth (Hp, Wp) f32,
-    disp_proj (Hp, Wp) f32 is recoverable as p03/depth but returned depth
-    suffices for parity with the XLA tail)."""
+def pallas_tail(
+    disp_rect: jax.Array,
+    plan: TailPlan,
+    interpret: bool = False,
+    pack: int = 0,
+):
+    """disp_rect -> (frame_bgr (Hp, Wp, 3) u8, depth (Hp, Wp) f32, disp_proj
+    (Hp, Wp) f32).
+
+    With ``pack`` == 0, disp_rect is the (H, W) f32 disparity map (padded
+    here).  With ``pack`` set to the scatter packing modulus (ops.scatter
+    PACK / PACK_WIDE), disp_rect is the already-padded (H_pad, W_pad)
+    packed integer map straight from scatter_disp_packed(pad_shape=...)
+    and is unpacked inside the kernel -- saving two full-image passes."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    H, W = disp_rect.shape
-    assert (H, W) == (plan.H, plan.W)
-    disp_pad = jnp.pad(
-        disp_rect, ((0, plan.H_pad - H), (0, plan.W_pad - W))
-    )
+    if pack:
+        assert disp_rect.shape == (plan.H_pad, plan.W_pad)
+        assert jnp.issubdtype(disp_rect.dtype, jnp.integer)
+        disp_pad = disp_rect
+        band_dtype = disp_rect.dtype
+    else:
+        H, W = disp_rect.shape
+        assert (H, W) == (plan.H, plan.W)
+        disp_pad = jnp.pad(
+            disp_rect, ((0, plan.H_pad - H), (0, plan.W_pad - W))
+        )
+        band_dtype = jnp.float32
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -369,14 +391,14 @@ def pallas_tail(disp_rect: jax.Array, plan: TailPlan, interpret: bool = False):
         ]
         * 5,
         scratch_shapes=[
-            pltpu.VMEM((plan.RB, plan.CB), jnp.float32),
+            pltpu.VMEM((plan.RB, plan.CB), band_dtype),
             pltpu.VMEM((32, plan.CB), jnp.int16),
             pltpu.VMEM((32, plan.CB), jnp.int16),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
 
-    kernel = functools.partial(_tail_kernel, plan=plan)
+    kernel = functools.partial(_tail_kernel, plan=plan, pack=pack)
     out_shapes = [
         jax.ShapeDtypeStruct((plan.Hp, plan.Wp), jnp.float32),
         jax.ShapeDtypeStruct((plan.Hp, plan.Wp), jnp.float32),

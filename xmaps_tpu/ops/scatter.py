@@ -41,6 +41,8 @@ def scatter_disp_packed(
     width: int,
     index_offset: jax.Array | int = 0,
     priority: jax.Array | None = None,
+    priority_is_event_index: bool = False,
+    pad_shape: tuple[int, int] | None = None,
 ) -> jax.Array:
     """Scatter index-packed disparities with max; returns the packed map.
 
@@ -50,9 +52,14 @@ def scatter_disp_packed(
     maps then combine exactly with an elementwise max -- see
     parallel.sharding).  ``priority`` overrides it entirely: the frame
     dedup filters re-emit events in pixel raster order, so their scatters
-    use the raster index as priority (ops.filters).
+    use the raster index as priority (ops.filters).  ``pad_shape`` scatters
+    into a larger zero-padded map (rows/cols beyond height/width stay 0)
+    so the Pallas tail kernel can consume the packed map directly without
+    a separate unpack + pad pass.
     """
     n = ys.shape[0]
+    out_h, out_w = pad_shape if pad_shape is not None else (height, width)
+    assert out_h >= height and out_w >= width
     disp_i = disp.astype(jnp.int32)
     ok = (
         inlier
@@ -63,8 +70,10 @@ def scatter_disp_packed(
         & (disp_i >= 0)
         & (disp_i < PACK)
     )
-    if priority is None:
-        priority = jnp.arange(n, dtype=jnp.int32) + index_offset
+    if priority is None or priority_is_event_index:
+        # event-index priorities (< capacity) fit the int32 PACK scheme
+        if priority is None:
+            priority = jnp.arange(n, dtype=jnp.int32) + index_offset
         packed = jnp.where(ok, (priority + 1) * PACK + disp_i, 0)
     else:
         # Filter paths: priorities are pixel raster indices (up to ~1e6), so
@@ -77,17 +86,17 @@ def scatter_disp_packed(
             + disp_i.astype(jnp.uint32),
             jnp.uint32(0),
         )
-        flat = jnp.zeros((height * width,), dtype=jnp.uint32)
-        ys_s = jnp.where(ok, ys, height)
-        lin = ys_s * width + xs
+        flat = jnp.zeros((out_h * out_w,), dtype=jnp.uint32)
+        ys_s = jnp.where(ok, ys, out_h)
+        lin = ys_s * out_w + xs
         flat = flat.at[lin].max(packed, mode="drop")
-        return flat.reshape(height, width)
+        return flat.reshape(out_h, out_w)
     # Out-of-bounds scatter indices are dropped; route masked lanes there.
-    ys_s = jnp.where(ok, ys, height)
-    flat = jnp.zeros((height * width,), dtype=jnp.int32)
-    lin = ys_s * width + xs
+    ys_s = jnp.where(ok, ys, out_h)
+    flat = jnp.zeros((out_h * out_w,), dtype=jnp.int32)
+    lin = ys_s * out_w + xs
     flat = flat.at[lin].max(packed, mode="drop")
-    return flat.reshape(height, width)
+    return flat.reshape(out_h, out_w)
 
 
 def unpack_disp(packed: jax.Array) -> jax.Array:
