@@ -157,6 +157,50 @@ def test_eval_app_end_to_end(tmp_path):
         assert abs(np.median(-pc[:, 2]) - z) < 0.08
 
 
+def test_eval_app_sharded_matches_single(tmp_path):
+    """-devices N shards scans across the virtual CPU mesh and must write
+    the same depth maps as the single-device path (the TPU-native analog
+    of the reference's GNU-parallel fan-out, eval/x-map-eval.sh:49-66)."""
+    from xmaps_tpu.apps.eval_xmaps import main as eval_main
+    from xmaps_tpu.utils.synthetic import (
+        make_synthetic_calibration,
+        simulate_plane_events,
+    )
+
+    calib = make_synthetic_calibration(
+        camera_width=96, camera_height=72, projector_width=45, projector_height=80
+    )
+    yaml_path = str(tmp_path / "calib.yaml")
+    _write_esl_yaml(yaml_path, calib)
+    scans = tmp_path / "scans_np"
+    scans.mkdir()
+    for i, z in enumerate([0.5, 0.6, 0.7]):
+        ev = simulate_plane_events(calib, depth_m=z, scan_upwards=False)
+        img = np.zeros((calib.camera_height, calib.camera_width), np.float64)
+        img[ev["y"], ev["x"]] = (ev["t"] + 1) / (ev["t"].max() + 1)
+        np.save(scans / f"scan{i:03d}.npy", img)
+
+    common = [
+        "-object_dir", str(tmp_path),
+        "-proj_height", str(calib.projector_height),
+        "-proj_width", str(calib.projector_width),
+        "-calib", yaml_path,
+        "-num_scans", "3",
+        "-cam_width", str(calib.camera_width),
+        "-cam_height", str(calib.camera_height),
+        "-no_pointcloud",
+    ]
+    assert eval_main(common) == 0
+    single = [
+        np.load(tmp_path / "x_maps" / "depth_init" / f"scans{i:03d}.npy")
+        for i in range(3)
+    ]
+    assert eval_main(common + ["-devices", "4"]) == 0
+    for i in range(3):
+        sharded = np.load(tmp_path / "x_maps" / "depth_init" / f"scans{i:03d}.npy")
+        np.testing.assert_array_equal(sharded, single[i])
+
+
 def test_eval_table_app(tmp_path, rng):
     """eval_table over a synthetic directory layout prints a table line."""
     from xmaps_tpu.apps.eval_table import main as table_main

@@ -54,6 +54,13 @@ def main(argv=None):
     parser.add_argument("-cam_width", type=int, default=640)
     parser.add_argument("-cam_height", type=int, default=480)
     parser.add_argument("-no_pointcloud", action="store_true")
+    parser.add_argument(
+        "-devices",
+        type=int,
+        default=1,
+        help="Shard scans across this many chips (0 = all available); the "
+        "TPU-native analog of the reference's GNU-parallel fan-out",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -94,24 +101,88 @@ def main(argv=None):
             zero_undistort_proj_map=True,
         )
 
-    for i in range(args.start_scan, min(args.start_scan + args.num_scans, len(scan_files))):
+    scan_ids = [
+        i
+        for i in range(
+            args.start_scan, min(args.start_scan + args.num_scans, len(scan_files))
+        )
+    ]
+
+    n_dev = args.devices if args.devices > 0 else len(jax.devices())
+    if n_dev > 1:
+        # data-parallel fan-out over chips: groups of n_dev scans per
+        # sharded dispatch (parallel.sharding; frames are independent)
+        from xmaps_tpu.parallel import make_mesh, make_sharded_pipeline, shard_batches
+
+        mesh = make_mesh(jax.devices()[:n_dev], data=n_dev, event=1)
+        pipeline = make_sharded_pipeline(engine.cfg, engine.tables, mesh)
+        group, group_ids = [], []
+
+        def flush_group():
+            if not group:
+                return
+            while len(group) < n_dev:  # pad the trailing group
+                group.append(group[0])
+            stacked = shard_batches(group[:n_dev], mesh, engine.cfg)
+            t0 = time.time()
+            out = pipeline(stacked)
+            depths = np.asarray(jax.device_get(out.depth))
+            print(
+                f"Completed {len(group_ids)} scans on {n_dev} chips "
+                f"in {time.time() - t0:.3f}s"
+            )
+            for k, i in enumerate(group_ids):
+                np.save(
+                    os.path.join(depth_dir, f"scans{str(i).zfill(3)}.npy"),
+                    depths[k],
+                )
+            group.clear()
+            group_ids.clear()
+
+        for i in scan_ids:
+            cam_image = np.load(scan_files[i])
+            events = scan_image_to_events(cam_image)
+            if events is None:
+                print(f"Skip camera npy file {scan_files[i]} since it is empty")
+                continue
+            group.append(
+                EventBatch.from_arrays(
+                    events["x"], events["y"], events["t"], events["p"],
+                    engine.cfg.event_capacity,
+                )
+            )
+            group_ids.append(i)
+            if len(group) == n_dev:
+                flush_group()
+        flush_group()
+        if not args.no_pointcloud:
+            print(
+                "Note: point clouds are computed single-device; rerun with "
+                "-devices 1 (or accept the serial pass below)."
+            )
+        else:
+            return 0
+
+    for i in scan_ids:
         cam_image = np.load(scan_files[i])
         events = scan_image_to_events(cam_image)
         if events is None:
-            print(f"Skip camera npy file {scan_files[i]} since it is empty")
+            if n_dev == 1:
+                print(f"Skip camera npy file {scan_files[i]} since it is empty")
             continue
-        print(f"Processing frame: {i}, camera npy file {scan_files[i]}")
+        if n_dev == 1:
+            print(f"Processing frame: {i}, camera npy file {scan_files[i]}")
 
-        t0 = time.time()
         batch = EventBatch.from_arrays(
             events["x"], events["y"], events["t"], events["p"],
             engine.cfg.event_capacity,
         )
-        out = engine.process_batch_device(batch)
-        depth = np.asarray(jax.device_get(out.depth))
-        print(f"Completed disparity estimation: {i} in time {time.time() - t0}")
-
-        np.save(os.path.join(depth_dir, f"scans{str(i).zfill(3)}.npy"), depth)
+        if n_dev == 1:
+            t0 = time.time()
+            out = engine.process_batch_device(batch)
+            depth = np.asarray(jax.device_get(out.depth))
+            print(f"Completed disparity estimation: {i} in time {time.time() - t0}")
+            np.save(os.path.join(depth_dir, f"scans{str(i).zfill(3)}.npy"), depth)
 
         if not args.no_pointcloud:
             # point cloud from rectified f32 coords of inliers
