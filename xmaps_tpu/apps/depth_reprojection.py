@@ -87,7 +87,14 @@ def project_events(bias, input, params, delta_t, ev_processor):
 @click.option("--out-dir", default="frames_out", help="Directory for --window files")
 @click.option("--camera-width", default=640, type=int)
 @click.option("--camera-height", default=480, type=int)
-def main(bias, input, loop_input, window, out_dir, **cli_params):
+@click.option(
+    "--profile-dir",
+    default=None,
+    type=click.Path(),
+    help="Capture a jax.profiler device trace of the replay into this "
+    "directory (view with TensorBoard / xprof)",
+)
+def main(bias, input, loop_input, window, out_dir, profile_dir, **cli_params):
     params = RuntimeParams(**cli_params)
 
     delta_t = 1e6 / params.projector_fps / EV_PACKETS_PER_FRAME
@@ -96,9 +103,18 @@ def main(bias, input, loop_input, window, out_dir, **cli_params):
         f"{EV_PACKETS_PER_FRAME} ev packets per projector frame."
     )
 
+    import contextlib
+
+    if profile_dir is not None:
+        import jax
+
+        trace_cm = jax.profiler.trace(profile_dir)
+    else:
+        trace_cm = contextlib.nullcontext()
+
     with DepthReprojectionProcessor(
         params=params, window_kind=window, out_dir=out_dir
-    ) as ev_processor:
+    ) as ev_processor, trace_cm:
         while True:
             project_events(bias, input, params, delta_t, ev_processor)
             if loop_input:
