@@ -201,6 +201,64 @@ def test_eval_app_sharded_matches_single(tmp_path):
         np.testing.assert_array_equal(sharded, single[i])
 
 
+def test_full_eval_chain(tmp_path, capsys):
+    """The complete offline evaluation chain on synthetic scans: ESL
+    (init + refined GT) -> MC3D -> X-maps -> comparison table (the
+    reference's eval/x-map-eval.sh flow, SURVEY.md §3.3)."""
+    from xmaps_tpu.apps.eval_esl import main as esl_main
+    from xmaps_tpu.apps.eval_mc3d import main as mc3d_main
+    from xmaps_tpu.apps.eval_table import main as table_main
+    from xmaps_tpu.apps.eval_xmaps import main as xmaps_main
+    from xmaps_tpu.utils.synthetic import (
+        make_synthetic_calibration,
+        simulate_plane_events,
+    )
+
+    calib = make_synthetic_calibration(
+        camera_width=96, camera_height=72, projector_width=45,
+        projector_height=80, baseline=3.0,
+    )
+    seq = tmp_path / "seq1"
+    scans = seq / "scans_np"
+    scans.mkdir(parents=True)
+    yaml_path = str(tmp_path / "calib.yaml")
+    _write_esl_yaml(yaml_path, calib)
+    for i, z in enumerate([30.0, 35.0]):
+        ev = simulate_plane_events(calib, depth_m=z, scan_upwards=False)
+        img = np.zeros((calib.camera_height, calib.camera_width), np.float64)
+        img[ev["y"], ev["x"]] = (ev["t"] + 1) / (ev["t"].max() + 1)
+        np.save(scans / f"scan{i:03d}.npy", img)
+
+    common = [
+        "-object_dir", str(seq),
+        "-proj_height", str(calib.projector_height),
+        "-proj_width", str(calib.projector_width),
+        "-calib", yaml_path,
+        "-num_scans", "2",
+        "-cam_width", str(calib.camera_width),
+        "-cam_height", str(calib.camera_height),
+    ]
+    assert esl_main(common) == 0
+    assert mc3d_main(common) == 0
+    assert xmaps_main(common + ["-no_pointcloud"]) == 0
+
+    # every method recovered a plausible plane depth for scan 0 (z=30)
+    for method in ("esl/depth_init", "mc3d/depth", "x_maps/depth_init"):
+        d = np.load(seq / method / "scans000.npy")
+        nz = d[d > 0]
+        assert len(nz) > 100, method
+        assert abs(np.median(nz) - 30.0) < 2.0, (method, np.median(nz))
+    assert (seq / "esl/depth_optim_filtered/scans000.npy").exists()
+
+    assert table_main(
+        ["-object_dir", str(tmp_path), "-scenes", "seq1",
+         "-min_depth", "5", "-max_depth", "60"]
+    ) == 0
+    out = capsys.readouterr().out
+    for row in ("ESL (init)", "MC3D", "X-Maps (ours)"):
+        assert row in out, out
+
+
 def test_eval_table_app(tmp_path, rng):
     """eval_table over a synthetic directory layout prints a table line."""
     from xmaps_tpu.apps.eval_table import main as table_main
