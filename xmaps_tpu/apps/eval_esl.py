@@ -324,6 +324,10 @@ def main(argv=None):
         disparity_rect = np.asarray(
             jax.device_get(disparity_init_dense(cam_rect, proj_rect))
         )
+        np.save(
+            os.path.join(dirs["disparity_init"], f"scans{str(i).zfill(3)}.npy"),
+            disparity_rect,
+        )
         # rectified -> camera view (reference :218-222)
         disparity = remap_nearest(
             disparity_rect,

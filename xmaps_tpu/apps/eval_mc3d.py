@@ -87,11 +87,17 @@ def build_mc3d_tables(calib, proj_w: int, proj_h: int, cam_w: int, cam_h: int):
         pos = np.searchsorted(sorted_col, q)
         pos_lo = np.clip(pos - 1, 0, proj_h - 1)
         pos_hi = np.clip(pos, 0, proj_h - 1)
+        # PY is int-truncated, so duplicate-value runs are common; map each
+        # candidate to the FIRST position of its value run so the stable
+        # sort yields the smallest original y -- np.argmin's first-minimum
+        # semantics in the reference's linear search (:64-71)
+        pos_lo = np.searchsorted(sorted_col, sorted_col[pos_lo])
+        pos_hi = np.searchsorted(sorted_col, sorted_col[pos_hi])
         d_lo = np.abs(sorted_col[pos_lo] - q)
         d_hi = np.abs(sorted_col[pos_hi] - q)
-        # nearest value; on equal distance prefer the smaller ORIGINAL y
         cand_lo = order[pos_lo]
         cand_hi = order[pos_hi]
+        # nearest value; on equal distance prefer the smaller ORIGINAL y
         take_lo = (d_lo < d_hi) | ((d_lo == d_hi) & (cand_lo < cand_hi))
         INV[x] = np.where(take_lo, cand_lo, cand_hi).astype(np.int32)
     return xc, yc, PX, PY, INV, float(P2[0, 3]), rect_size

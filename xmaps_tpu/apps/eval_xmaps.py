@@ -99,6 +99,9 @@ def main(argv=None):
             scan_upwards=False,
             border_replicate=False,
             zero_undistort_proj_map=True,
+            # scan timestamps are float intensities; the Pallas event path
+            # (integer timestamps only) would never run -- skip its tables
+            use_pallas_events=False,
         )
 
     scan_ids = [

@@ -73,7 +73,7 @@ def main(argv=None):
     from xmaps_tpu.io.evt_encode import encode_evt3
     from xmaps_tpu.utils.synthetic import (
         make_synthetic_calibration,
-        simulate_plane_events,
+        simulate_sequence,
     )
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -87,25 +87,24 @@ def main(argv=None):
     write_xmaps_yaml(yaml_path, calib)
 
     rng = np.random.default_rng(args.seed)
-    frame_us = int(1e6 / args.fps)
-    chunks = []
-    for k in range(args.frames):
-        if args.scene == "sweep":
-            z = 0.4 + 0.5 * (k / max(args.frames - 1, 1))
-        else:
-            z = 0.6 + 0.2 * np.sin(2 * np.pi * k / 30)
-        ev = simulate_plane_events(
-            calib,
-            depth_m=float(z),
-            frame_us=frame_us,
-            scan_fraction=0.85,  # vertical blanking gap for the trigger finder
-            subsample=args.density,
-            jitter_us=2.0,
-            rng=rng,
-            t_offset_us=k * frame_us,
-        )
-        chunks.append(ev)
-    events = np.concatenate(chunks)
+    if args.scene == "sweep":
+        depths = [
+            0.4 + 0.5 * (k / max(args.frames - 1, 1)) for k in range(args.frames)
+        ]
+    else:
+        depths = [
+            0.6 + 0.2 * np.sin(2 * np.pi * k / 30) for k in range(args.frames)
+        ]
+    # simulate_sequence inserts the vertical-blanking pauses the trigger
+    # finder keys on (utils/synthetic.py)
+    events = simulate_sequence(
+        calib,
+        depths,
+        fps=args.fps,
+        subsample=args.density,
+        jitter_us=2.0,
+        rng=rng,
+    )
     raw_path = os.path.join(args.out_dir, "events.raw")
     with open(raw_path, "wb") as f:
         f.write(encode_evt3(events, args.camera_width, args.camera_height))

@@ -133,12 +133,19 @@ class XMapsDepthEngine:
         if use_pallas_events is None:
             use_pallas_events = on_accel
         event_plan = None
-        if use_pallas_events and event_capacity % 1024 == 0:
-            from xmaps_tpu.ops.pallas_events import build_event_gather_plan
-
-            event_plan = build_event_gather_plan(
-                tables.cam_map_packed, x_map_np
+        if use_pallas_events:
+            from xmaps_tpu.ops.pallas_events import (
+                BLOCK,
+                build_event_gather_plan,
+                tables_fit_vmem,
             )
+
+            if event_capacity % BLOCK == 0 and tables_fit_vmem(
+                (calib.camera_height, calib.camera_width), x_map_np.shape
+            ):
+                event_plan = build_event_gather_plan(
+                    tables.cam_map_packed, x_map_np
+                )
 
         return XMapsDepthEngine(
             cfg=cfg,

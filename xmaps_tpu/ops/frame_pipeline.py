@@ -137,6 +137,11 @@ def depth_frame(
             rect_coords=(xr, yr),
         )
 
+    from xmaps_tpu.ops.scatter import PACK, PACK_WIDE
+
+    use_wide = priority is not None and not use_pallas_events
+    pack = PACK_WIDE if use_wide else PACK
+
     if cfg.camera_perspective:
         disp_map = unpack_disp(
             scatter_disp_packed(
@@ -148,7 +153,8 @@ def depth_frame(
                 width=cfg.camera_width,
                 priority=priority,
                 priority_is_event_index=use_pallas_events,
-            )
+            ),
+            pack,
         )
         disp_for_depth = disp_map
     else:
@@ -157,9 +163,7 @@ def depth_frame(
             # kernel's padded dims; the kernel unpacks in-band (saves two
             # full-image passes: unpack + pad)
             from xmaps_tpu.ops.pallas_tail import pallas_tail
-            from xmaps_tpu.ops.scatter import PACK, PACK_WIDE
 
-            use_wide = priority is not None and not use_pallas_events
             packed_map = scatter_disp_packed(
                 res.y_rect,
                 res.x_rect + res.disp.astype(jnp.int32),
@@ -175,7 +179,7 @@ def depth_frame(
                 packed_map,
                 tail_plan,
                 interpret=pallas_interpret,
-                pack=PACK_WIDE if use_wide else PACK,
+                pack=pack,
             )
             return FrameResult(
                 frame_bgr=frame,
@@ -193,7 +197,8 @@ def depth_frame(
                 width=cfg.rect_width,
                 priority=priority,
                 priority_is_event_index=use_pallas_events,
-            )
+            ),
+            pack,
         )
         dilated = dilate_max(disp_rect, 7)
         disp_for_depth = remap_nearest_i16(

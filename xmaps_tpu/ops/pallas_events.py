@@ -37,13 +37,34 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["EventGatherPlan", "build_event_gather_plan", "rectify_and_lookup"]
+__all__ = [
+    "EventGatherPlan",
+    "build_event_gather_plan",
+    "rectify_and_lookup",
+    "tables_fit_vmem",
+    "BLOCK",
+]
 
 BLOCK = 1024  # events per grid step (8 sublanes x 128 lanes)
+
+#: VMEM budget for the two resident tables (the core has ~16 MB; leave
+#: room for event blocks, outputs and double buffering).
+TABLE_VMEM_BUDGET = 10 * 2**20
 
 
 def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
+
+
+def tables_fit_vmem(cam_shape, xmap_shape) -> bool:
+    """Whether the padded int32 LUT + X-map fit the kernel's VMEM budget.
+
+    Large rigs (e.g. the ESL eval's 3x-projector rectification, whose
+    X-map is (5760, 1152) i32 = 26 MB) must fall back to the XLA gather
+    path instead of failing Mosaic compilation."""
+    cam_bytes = _round_up(cam_shape[0], 8) * _round_up(cam_shape[1], 128) * 4
+    xmap_bytes = _round_up(xmap_shape[0], 8) * _round_up(xmap_shape[1], 128) * 4
+    return cam_bytes + xmap_bytes <= TABLE_VMEM_BUDGET
 
 
 class EventGatherPlan(NamedTuple):

@@ -248,8 +248,10 @@ def _tail_kernel(
     d = band[:]
     if pack:
         # packed (priority*PACK + disp) input: unpack in-band (PACK is a
-        # power of two, so this is a bitwise AND -- see ops.scatter)
-        d = (d & (pack - 1)).astype(jnp.float32)
+        # power of two, so this is a bitwise AND -- see ops.scatter).
+        # Mosaic has no u32->f32 cast; the masked value is < pack, so
+        # reinterpreting as i32 first is exact.
+        d = (d & (pack - 1)).astype(jnp.int32).astype(jnp.float32)
     for s in (1, 2):
         d = _shift_max_lanes(d, s)
     for s in (1, 2):

@@ -6,7 +6,7 @@ fancy indexing, whose semantics are "last write in index order wins"
 indices has unspecified winner order, so we make the reduction associative:
 each event's integer-valued disparity is packed with its batch index as
 
-    packed = (event_index + 1) * PACK + disp
+    packed = (event_index + 1) * PACK + disp        (uint32)
 
 and scattered with max.  The highest event index wins -- exactly NumPy's
 last-write-wins -- and unpacking recovers the disparity.  This keeps the
@@ -21,13 +21,16 @@ import jax.numpy as jnp
 
 __all__ = ["scatter_disp_last_wins", "scatter_disp_packed", "unpack_disp", "PACK"]
 
-#: Must exceed any valid disparity (bounded by the rectified image width,
-#: <= ~5800 for the ESL configuration).  (capacity+1) * PACK must fit in
-#: int32: 65537 * 8192 = 5.4e8 < 2^31.
+#: Disparity field width for event-index priorities.  Must exceed any valid
+#: disparity (bounded by the rectified image width, <= ~5800 for the ESL
+#: configuration).  uint32 packing supports priorities up to
+#: 2**32 / PACK - 2 = 524286 -- enough for the offline eval's
+#: whole-image batches (640*480 = 307200) with headroom.
 PACK = 8192
 
 #: Disparity field width when the priority is a pixel raster index (frame
-#: dedup filter paths); (max_key + 1) * PACK_WIDE must fit in uint32.
+#: dedup filter paths, up to ~5.8M for the rectified raster); (max_key + 1)
+#: * PACK_WIDE must fit in uint32, asserted by the caller.
 PACK_WIDE = 4096
 
 
@@ -44,18 +47,20 @@ def scatter_disp_packed(
     priority_is_event_index: bool = False,
     pad_shape: tuple[int, int] | None = None,
 ) -> jax.Array:
-    """Scatter index-packed disparities with max; returns the packed map.
+    """Scatter index-packed disparities with max; returns the packed
+    uint32 map.
 
     The last-write-wins priority is the event index by default (NumPy
     fancy-indexing order); ``index_offset`` shifts it so event shards on
     different devices keep globally consistent ordering (partial packed
     maps then combine exactly with an elementwise max -- see
-    parallel.sharding).  ``priority`` overrides it entirely: the frame
-    dedup filters re-emit events in pixel raster order, so their scatters
-    use the raster index as priority (ops.filters).  ``pad_shape`` scatters
-    into a larger zero-padded map (rows/cols beyond height/width stay 0)
-    so the Pallas tail kernel can consume the packed map directly without
-    a separate unpack + pad pass.
+    parallel.sharding).  ``priority`` overrides it: with
+    ``priority_is_event_index`` it is a permutation of the event indices
+    (the device-sorted Pallas path); otherwise it is a pixel raster index
+    and the PACK_WIDE field is used (frame dedup filters, ops.filters).
+    ``pad_shape`` scatters into a larger zero-padded map (rows/cols beyond
+    height/width stay 0) so the Pallas tail kernel can consume the packed
+    map directly without a separate unpack + pad pass.
     """
     n = ys.shape[0]
     out_h, out_w = pad_shape if pad_shape is not None else (height, width)
@@ -71,14 +76,21 @@ def scatter_disp_packed(
         & (disp_i < PACK)
     )
     if priority is None or priority_is_event_index:
-        # event-index priorities (< capacity) fit the int32 PACK scheme
+        if isinstance(index_offset, int):
+            assert (n + index_offset + 1) * PACK < 2**32, (
+                f"event capacity {n} overflows the uint32 PACK packing"
+            )
         if priority is None:
             priority = jnp.arange(n, dtype=jnp.int32) + index_offset
-        packed = jnp.where(ok, (priority + 1) * PACK + disp_i, 0)
+        packed = jnp.where(
+            ok,
+            (priority.astype(jnp.uint32) + 1) * jnp.uint32(PACK)
+            + disp_i.astype(jnp.uint32),
+            jnp.uint32(0),
+        )
     else:
-        # Filter paths: priorities are pixel raster indices (up to ~1e6), so
-        # pack into uint32 with a smaller disparity field.  Valid for
-        # (max_key + 1) * PACK_WIDE <= 2^32, asserted by the caller.
+        # Filter paths: priorities are pixel raster indices (up to ~5.8M),
+        # so pack with the narrower disparity field.
         ok = ok & (disp_i < PACK_WIDE)
         packed = jnp.where(
             ok,
@@ -86,23 +98,22 @@ def scatter_disp_packed(
             + disp_i.astype(jnp.uint32),
             jnp.uint32(0),
         )
-        flat = jnp.zeros((out_h * out_w,), dtype=jnp.uint32)
-        ys_s = jnp.where(ok, ys, out_h)
-        lin = ys_s * out_w + xs
-        flat = flat.at[lin].max(packed, mode="drop")
-        return flat.reshape(out_h, out_w)
     # Out-of-bounds scatter indices are dropped; route masked lanes there.
     ys_s = jnp.where(ok, ys, out_h)
-    flat = jnp.zeros((out_h * out_w,), dtype=jnp.int32)
+    flat = jnp.zeros((out_h * out_w,), dtype=jnp.uint32)
     lin = ys_s * out_w + xs
     flat = flat.at[lin].max(packed, mode="drop")
     return flat.reshape(out_h, out_w)
 
 
-def unpack_disp(packed: jax.Array) -> jax.Array:
-    """Recover the float32 disparity map from a packed map."""
-    pack = PACK_WIDE if packed.dtype == jnp.uint32 else PACK
-    return (packed % pack).astype(jnp.float32)
+def unpack_disp(packed: jax.Array, pack: int = PACK) -> jax.Array:
+    """Recover the float32 disparity map from a packed map.
+
+    ``pack`` must match the field width the map was scattered with: PACK
+    for event-index priorities (the default paths), PACK_WIDE for the
+    dedup-filter raster priorities.
+    """
+    return (packed % jnp.uint32(pack)).astype(jnp.float32)
 
 
 def scatter_disp_last_wins(

@@ -135,6 +135,11 @@ def make_sharded_pipeline(cfg: PipelineConfig, tables: DeviceTables, mesh: Mesh)
     """
     ev_shards = mesh.shape["event"]
     local_capacity = cfg.event_capacity // ev_shards
+    from xmaps_tpu.ops.scatter import PACK
+
+    assert (cfg.event_capacity + 1) * PACK < 2**32, (
+        f"event capacity {cfg.event_capacity} overflows the uint32 packing"
+    )
 
     frame_fn = functools.partial(
         _frame_event_sharded,

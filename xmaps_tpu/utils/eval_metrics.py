@@ -58,20 +58,6 @@ def load_and_filter(depth: np.ndarray, gt: np.ndarray, min_depth: float,
     return result
 
 
-def _median_blur_3x3_np(img: np.ndarray) -> np.ndarray:
-    """cv2.medianBlur(img, 3) semantics: 3x3 median, edge replication."""
-    H, W = img.shape
-    padded = np.pad(img, 1, mode="edge")
-    stack = np.stack(
-        [
-            padded[1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]
-            for dy in (-1, 0, 1)
-            for dx in (-1, 0, 1)
-        ]
-    )
-    return np.median(stack, axis=0).astype(img.dtype)
-
-
 def combine_depths(depth_list, min_depth: float, max_depth: float):
     """Temporal combination of per-frame depth maps (the MC3D/GT averaging
     of the reference, esl_utilities.py combine_mc3d:152-175): per-pixel
@@ -87,8 +73,10 @@ def combine_depths(depth_list, min_depth: float, max_depth: float):
             cnt = np.zeros_like(d, dtype=np.int64)
         acc += d
         cnt += d > 0
+    from xmaps_tpu.utils.denoise import median_blur_3x3
+
     combined = np.where(cnt > 0, acc / np.maximum(cnt, 1), 0.0).astype(np.float32)
-    combined = _median_blur_3x3_np(combined)
+    combined = np.asarray(median_blur_3x3(combined))
     avg_depth = (
         float(combined[combined > 0].mean()) if (combined > 0).any() else 0.0
     )
