@@ -266,6 +266,11 @@ def main(argv=None):
         "-skip_refine", action="store_true",
         help="Only compute depth_init (skip optimization + denoise)",
     )
+    parser.add_argument(
+        "-no_fast_search", action="store_true",
+        help="Disable the binary-search Pallas kernel (use the dense "
+        "brute-force disparity scan)",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -308,6 +313,48 @@ def main(argv=None):
     )
     plan = RefinePlan(calib, maps, args.w, args.proj_width, args.proj_height)
     p03 = float(maps.P2[0, 3])
+    rect_shape = (calib.rect_image_height, calib.rect_image_width)
+
+    # Fully device-resident fast path: ship the 1.2 MB scan, rectify with
+    # the Pallas static remap, binary-search the disparity, and pull back
+    # only the small camera-view result.  Requires monotone rows (true for
+    # the rectified ramp) and an accelerator; falls back to the dense
+    # brute-force otherwise.  Bit-identical either way.
+    from xmaps_tpu.ops.pallas_esl import esl_disparity_search, rows_monotone
+
+    use_fast = (
+        jax.default_backend() not in ("cpu",)
+        and not args.no_fast_search
+        and rows_monotone(proj_rect)
+    )
+    if use_fast:
+        import jax.numpy as jnp
+
+        from xmaps_tpu.ops.pallas_remap import build_remap_indices, remap_static
+
+        yi_fwd, xi_fwd = build_remap_indices(
+            maps.camera_mapx, maps.camera_mapy,
+            (calib.camera_height, calib.camera_width),
+        )
+        yi_fwd, xi_fwd = jnp.asarray(yi_fwd), jnp.asarray(xi_fwd)
+        proj_dev = jnp.asarray(proj_rect)
+        # rect -> camera-view back-remap indices (small, XLA gather)
+        H_r, W_r = rect_shape
+        xi_b = np.rint(maps.disp_cam_mapx_f32).astype(np.int64)
+        yi_b = np.rint(maps.disp_cam_mapy_f32).astype(np.int64)
+        inb_b = (xi_b >= 0) & (xi_b < W_r) & (yi_b >= 0) & (yi_b < H_r)
+        lin_b = jnp.asarray(
+            np.where(inb_b, yi_b * W_r + xi_b, 0).astype(np.int32)
+        )
+        mask_b = jnp.asarray(inb_b)
+
+        @jax.jit
+        def device_depth_init(cam_norm_dev):
+            cam_rect = remap_static(cam_norm_dev, yi_fwd, xi_fwd, rect_shape)
+            disp_rect = esl_disparity_search(cam_rect, proj_dev)
+            disp_cam = jnp.where(mask_b, disp_rect.reshape(-1)[lin_b], 0.0)
+            depth = jnp.where(disp_cam != 0, p03 / disp_cam, 0.0)
+            return disp_cam, depth
 
     for i in range(args.start_scan, min(args.start_scan + args.num_scans, len(scan_files))):
         cam_raw = np.load(scan_files[i])
@@ -316,29 +363,37 @@ def main(argv=None):
             continue
         print(f"Processing frame: {i}, camera npy file {scan_files[i]}")
         cam_norm = normalize_scan(cam_raw)
-        cam_rect = remap_nearest(
-            cam_norm, maps.camera_mapx, maps.camera_mapy, border_replicate=False
-        )
 
         t0 = time.time()
-        disparity_rect = np.asarray(
-            jax.device_get(disparity_init_dense(cam_rect, proj_rect))
-        )
+        if use_fast:
+            disparity, depth_init = (
+                np.asarray(jax.device_get(a))
+                for a in device_depth_init(cam_norm)
+            )
+        else:
+            cam_rect = remap_nearest(
+                cam_norm, maps.camera_mapx, maps.camera_mapy,
+                border_replicate=False,
+            )
+            disparity_rect = np.asarray(
+                jax.device_get(disparity_init_dense(cam_rect, proj_rect))
+            )
+            # rectified -> camera view (reference :218-222)
+            disparity = remap_nearest(
+                disparity_rect,
+                maps.disp_cam_mapx_f32,
+                maps.disp_cam_mapy_f32,
+                border_replicate=False,
+            ).astype(np.float32)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                depth_init = np.where(
+                    disparity != 0, p03 / disparity, 0.0
+                ).astype(np.float32)
+        depth_init = np.asarray(depth_init, np.float32)
         np.save(
             os.path.join(dirs["disparity_init"], f"scans{str(i).zfill(3)}.npy"),
-            disparity_rect,
+            np.asarray(disparity, np.float32),
         )
-        # rectified -> camera view (reference :218-222)
-        disparity = remap_nearest(
-            disparity_rect,
-            maps.disp_cam_mapx_f32,
-            maps.disp_cam_mapy_f32,
-            border_replicate=False,
-        ).astype(np.float32)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            depth_init = np.where(disparity != 0, p03 / disparity, 0.0).astype(
-                np.float32
-            )
         print(f"Completed depth initialization: {i} in time {time.time() - t0}")
         np.save(
             os.path.join(dirs["depth_init"], f"scans{str(i).zfill(3)}.npy"),
