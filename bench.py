@@ -43,8 +43,10 @@ def main():
     )
 
     t0 = time.perf_counter()
+    # capacity sized to the stream (~28k events/frame), like the runtime
+    # sizes its batches; must be a multiple of the event-kernel BLOCK
     engine = XMapsDepthEngine.from_calibration(
-        calib, event_capacity=32768, z_near=0.2, z_far=1.2
+        calib, event_capacity=28 * 1024, z_near=0.2, z_far=1.2
     )
     setup_s = time.perf_counter() - t0
 
