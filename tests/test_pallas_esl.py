@@ -57,6 +57,7 @@ def test_remap_static_matches_remap_nearest(rng):
     map_x = (rng.random((H, W)) * Ws * 1.2 - 4).astype(np.float32)
     map_y = (rng.random((H, W)) * Hs * 1.2 - 4).astype(np.float32)
     want = remap_nearest(src, map_x, map_y, border_replicate=False)
-    yi, xi = build_remap_indices(map_x, map_y, (Hs, Ws))
+    yi, xi, inb = build_remap_indices(map_x, map_y, (Hs, Ws))
+    assert inb.any() and not inb.all()  # exercises the OOB zero column
     got = np.asarray(remap_static(src, yi, xi, (H, W), interpret=True))
     np.testing.assert_array_equal(got, want)

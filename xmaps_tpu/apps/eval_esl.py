@@ -322,29 +322,31 @@ def main(argv=None):
     # brute-force otherwise.  Bit-identical either way.
     from xmaps_tpu.ops.pallas_esl import esl_disparity_search, rows_monotone
 
-    use_fast = (
-        jax.default_backend() not in ("cpu",)
-        and not args.no_fast_search
-        and rows_monotone(proj_rect)
-    )
+    # The Pallas kernels are TPU-specific (Mosaic lowering); other
+    # accelerators use the dense XLA brute force.
+    on_tpu = jax.devices()[0].platform not in ("cpu", "gpu", "cuda", "rocm")
+    use_fast = on_tpu and not args.no_fast_search and rows_monotone(proj_rect)
     if use_fast:
         import jax.numpy as jnp
 
         from xmaps_tpu.ops.pallas_remap import build_remap_indices, remap_static
 
-        yi_fwd, xi_fwd = build_remap_indices(
+        yi_fwd, xi_fwd, _ = build_remap_indices(
             maps.camera_mapx, maps.camera_mapy,
             (calib.camera_height, calib.camera_width),
         )
         yi_fwd, xi_fwd = jnp.asarray(yi_fwd), jnp.asarray(xi_fwd)
         proj_dev = jnp.asarray(proj_rect)
-        # rect -> camera-view back-remap indices (small, XLA gather)
+        # rect -> camera-view back-remap indices (small, XLA flat gather;
+        # same rounding/bounds as the forward maps via build_remap_indices)
         H_r, W_r = rect_shape
-        xi_b = np.rint(maps.disp_cam_mapx_f32).astype(np.int64)
-        yi_b = np.rint(maps.disp_cam_mapy_f32).astype(np.int64)
-        inb_b = (xi_b >= 0) & (xi_b < W_r) & (yi_b >= 0) & (yi_b < H_r)
+        yi_b, xi_b, inb_b = build_remap_indices(
+            maps.disp_cam_mapx_f32, maps.disp_cam_mapy_f32, (H_r, W_r)
+        )
         lin_b = jnp.asarray(
-            np.where(inb_b, yi_b * W_r + xi_b, 0).astype(np.int32)
+            np.where(
+                inb_b, yi_b.astype(np.int64) * W_r + xi_b, 0
+            ).astype(np.int32)
         )
         mask_b = jnp.asarray(inb_b)
 

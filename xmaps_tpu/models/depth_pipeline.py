@@ -111,9 +111,11 @@ class XMapsDepthEngine:
 
         tables = DeviceTables.from_maps(maps, x_map_np)
 
-        # The fused Pallas kernels run on TPU; CPU tests use the XLA
-        # path (the Pallas interpreter is functional but slow).
-        on_accel = jax.default_backend() not in ("cpu",)
+        # The fused Pallas kernels are TPU-specific (Mosaic lowering); CPU
+        # tests and other accelerators use the XLA path.
+        on_accel = jax.devices()[0].platform not in (
+            "cpu", "gpu", "cuda", "rocm"
+        )
         if use_pallas_tail is None:
             use_pallas_tail = on_accel
         tail_plan = None

@@ -44,9 +44,25 @@ FILTER_NAMES = (
 
 class FilteredBatch(NamedTuple):
     batch: EventBatch
-    #: per-lane scatter priority; raster order for dedup filters, event
-    #: order for NoFilter (matches reference output ordering semantics)
+    #: per-lane scatter priority; dense raster RANK for dedup filters,
+    #: event order for NoFilter (matches reference output ordering
+    #: semantics -- see _dense_rank)
     scatter_priority: jax.Array
+
+
+def _dense_rank(key: jax.Array) -> jax.Array:
+    """Rank of each lane under (key, lane) lexicographic order.
+
+    The dedup filters' scatter priority is the reference's raster
+    position (frame_event_filter.py re-emits one event per key in raster
+    order).  Raw raster keys overflow the uint32 packing at ESL scale
+    (camera_height * rect_width ~ 2.8M), but only their ORDER matters and
+    every filter keeps at most one survivor per key, so the dense rank
+    (< capacity) is an equivalent priority.  One free lax.sort."""
+    n = key.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(n)
+    _, order = jax.lax.sort((key, idx), num_keys=1, is_stable=True)
+    return jnp.zeros((n,), jnp.int32).at[order].set(idx)
 
 
 def _winner_mask(key: jax.Array, valid: jax.Array, n_keys: int, *, first: bool):
@@ -95,13 +111,13 @@ def apply_frame_filter(
         # reference frame_event_filter.py:45-64 (reversed scatter)
         keep = _winner_mask(key_xy, pos, n_xy, first=True)
         out = batch._replace(valid=keep)
-        return FilteredBatch(out, key_xy)
+        return FilteredBatch(out, _dense_rank(key_xy))
 
     if name == "last_per_xy":
         # reference frame_event_filter.py:19-39
         keep = _winner_mask(key_xy, pos, n_xy, first=False)
         out = batch._replace(valid=keep)
-        return FilteredBatch(out, key_xy)
+        return FilteredBatch(out, _dense_rank(key_xy))
 
     if name == "first_per_yt":
         # reference frame_event_filter.py:70-99: key = (raw y, rectified x)
@@ -109,7 +125,7 @@ def apply_frame_filter(
         key_yt = batch.y * rect_width + xr
         keep = _winner_mask(key_yt, pos, camera_height * rect_width, first=True)
         out = batch._replace(valid=keep)
-        return FilteredBatch(out, key_yt)
+        return FilteredBatch(out, _dense_rank(key_yt))
 
     if name == "mean_first_last_per_xy":
         # reference frame_event_filter.py:102-128: one event per (x, y)
@@ -132,6 +148,6 @@ def apply_frame_filter(
             valid=keep_first,
             t=jnp.where(keep_first, t_mean, batch.t).astype(batch.t.dtype),
         )
-        return FilteredBatch(out, key_xy)
+        return FilteredBatch(out, _dense_rank(key_xy))
 
     raise ValueError(f"unknown frame filter {name!r}")

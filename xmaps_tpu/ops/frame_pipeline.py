@@ -137,10 +137,7 @@ def depth_frame(
             rect_coords=(xr, yr),
         )
 
-    from xmaps_tpu.ops.scatter import PACK, PACK_WIDE
-
-    use_wide = priority is not None and not use_pallas_events
-    pack = PACK_WIDE if use_wide else PACK
+    from xmaps_tpu.ops.scatter import PACK
 
     if cfg.camera_perspective:
         disp_map = unpack_disp(
@@ -152,9 +149,7 @@ def depth_frame(
                 height=cfg.camera_height,
                 width=cfg.camera_width,
                 priority=priority,
-                priority_is_event_index=use_pallas_events,
-            ),
-            pack,
+            )
         )
         disp_for_depth = disp_map
     else:
@@ -172,14 +167,13 @@ def depth_frame(
                 height=cfg.rect_height,
                 width=cfg.rect_width,
                 priority=priority,
-                priority_is_event_index=use_pallas_events,
                 pad_shape=(tail_plan.H_pad, tail_plan.W_pad),
             )
             frame, depth, disp_map = pallas_tail(
                 packed_map,
                 tail_plan,
                 interpret=pallas_interpret,
-                pack=pack,
+                pack=PACK,
             )
             return FrameResult(
                 frame_bgr=frame,
@@ -196,9 +190,7 @@ def depth_frame(
                 height=cfg.rect_height,
                 width=cfg.rect_width,
                 priority=priority,
-                priority_is_event_index=use_pallas_events,
-            ),
-            pack,
+            )
         )
         dilated = dilate_max(disp_rect, 7)
         disp_for_depth = remap_nearest_i16(

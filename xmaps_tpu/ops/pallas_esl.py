@@ -24,9 +24,10 @@ so the window scan collapses to a 10-step binary search:
   F[j0-1], column max(R[j0-1], N[c+5]) after clamping its run into the
   window).  Costs are compared as float32 squares exactly like the
   brute-force path, ties to the smaller column (np.argmin order).
-- row-local gathers are executed as 9 precomputed 128-lane rolls +
-  take_along_axis + group select (the window is < 900 columns, so a
-  target is at most 8 lane-groups right of its pixel).
+- row-local gathers decompose per output 128-lane group into up to 9
+  static source tiles + lane take_along_axis + group select (the window
+  is < 1024 columns, so a target is at most 8 lane-groups right of its
+  pixel).
 
 Exactness: bit-identical to apps.eval_esl.disparity_init_dense whenever
 every row's nonzero values are nondecreasing; rows_monotone() checks this
@@ -45,17 +46,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["rows_monotone", "esl_disparity_search"]
 
+from xmaps_tpu.ops.pallas_events import _round_up  # noqa: E402
+
 MAX_GO = 9  # lane-group offsets 0..8 cover windows < 1024 columns
-
-
-def _round_up(v: int, m: int) -> int:
-    return -(-v // m) * m
 
 
 def rows_monotone(proj_rect: np.ndarray) -> bool:
     """Whether each row's nonzero values are nondecreasing (the fast
     kernel's precondition)."""
     p = np.asarray(proj_rect)
+    if not bool(((p == 0) | (p > 0)).all()):
+        # _prep_rows' prefix fill uses 0 as the "no value yet" sentinel,
+        # so negative nonzero values are out of contract
+        return False
     filled = np.where(p != 0, p, -np.inf)
     running = np.maximum.accumulate(filled, axis=1)
     prev = np.concatenate(
@@ -64,7 +67,7 @@ def rows_monotone(proj_rect: np.ndarray) -> bool:
     return bool(((p == 0) | (p >= prev)).all())
 
 
-def _prep_rows(proj, W):
+def _prep_rows(proj):
     """Per-row scan arrays (see module docstring); all (H, W_pad)."""
     H, W_pad = proj.shape
     nz = proj != 0
@@ -199,7 +202,11 @@ def esl_disparity_search(
 ):
     """Binary-search ESL-init disparity over monotone rows (see module
     docstring).  cam_rect/proj_rect: (H, W) float32; returns (H, W) f32."""
-    assert max_disp - min_disp < MAX_GO * 128 - 127
+    # gather_row reaches at most MAX_GO*128-127 lanes right of a pixel,
+    # and the cnt gather at lo-1 must stay right of the pixel's group
+    assert 1 <= min_disp and max_disp <= MAX_GO * 128 - 127, (
+        f"unsupported disparity window [{min_disp}, {max_disp})"
+    )
     cam = jnp.asarray(cam_rect, jnp.float32)
     proj = jnp.asarray(proj_rect, jnp.float32)
     H, W = cam.shape
@@ -215,7 +222,7 @@ def esl_disparity_search(
 
     cam_p = pad(cam)
     proj_p = pad(proj)
-    G, F, N, R, C = _prep_rows(proj_p, W)
+    G, F, N, R, C = _prep_rows(proj_p)
 
     steps = int(np.ceil(np.log2(max_disp - min_disp))) + 1
     kernel = functools.partial(

@@ -355,7 +355,7 @@ def pallas_tail(
 
     With ``pack`` == 0, disp_rect is the (H, W) f32 disparity map (padded
     here).  With ``pack`` set to the scatter packing modulus (ops.scatter
-    PACK / PACK_WIDE), disp_rect is the already-padded (H_pad, W_pad)
+    PACK), disp_rect is the already-padded (H_pad, W_pad)
     packed integer map straight from scatter_disp_packed(pad_shape=...)
     and is unpacked inside the kernel -- saving two full-image passes."""
     from jax.experimental import pallas as pl

@@ -21,17 +21,14 @@ import jax.numpy as jnp
 
 __all__ = ["scatter_disp_last_wins", "scatter_disp_packed", "unpack_disp", "PACK"]
 
-#: Disparity field width for event-index priorities.  Must exceed any valid
-#: disparity (bounded by the rectified image width, <= ~5800 for the ESL
-#: configuration).  uint32 packing supports priorities up to
-#: 2**32 / PACK - 2 = 524286 -- enough for the offline eval's
-#: whole-image batches (640*480 = 307200) with headroom.
+#: Disparity field width.  Must exceed any valid disparity (bounded by the
+#: rectified image width, <= ~5800 for the ESL configuration).  uint32
+#: packing supports priorities up to 2**32 / PACK - 2 = 524286 -- enough
+#: for the offline eval's whole-image batches (640*480 = 307200) with
+#: headroom.  All priorities are event indices or dense ranks < capacity
+#: (ops.filters rank-compresses its raster keys), so one field width
+#: serves every path.
 PACK = 8192
-
-#: Disparity field width when the priority is a pixel raster index (frame
-#: dedup filter paths, up to ~5.8M for the rectified raster); (max_key + 1)
-#: * PACK_WIDE must fit in uint32, asserted by the caller.
-PACK_WIDE = 4096
 
 
 def scatter_disp_packed(
@@ -44,7 +41,6 @@ def scatter_disp_packed(
     width: int,
     index_offset: jax.Array | int = 0,
     priority: jax.Array | None = None,
-    priority_is_event_index: bool = False,
     pad_shape: tuple[int, int] | None = None,
 ) -> jax.Array:
     """Scatter index-packed disparities with max; returns the packed
@@ -54,17 +50,21 @@ def scatter_disp_packed(
     fancy-indexing order); ``index_offset`` shifts it so event shards on
     different devices keep globally consistent ordering (partial packed
     maps then combine exactly with an elementwise max -- see
-    parallel.sharding).  ``priority`` overrides it: with
-    ``priority_is_event_index`` it is a permutation of the event indices
-    (the device-sorted Pallas path); otherwise it is a pixel raster index
-    and the PACK_WIDE field is used (frame dedup filters, ops.filters).
-    ``pad_shape`` scatters into a larger zero-padded map (rows/cols beyond
-    height/width stay 0) so the Pallas tail kernel can consume the packed
-    map directly without a separate unpack + pad pass.
+    parallel.sharding).  ``priority`` overrides it with another
+    order-equivalent permutation: the device-sorted Pallas path's arrival
+    indices, or the dedup filters' dense raster ranks (ops.filters).  All
+    priorities must be < capacity.  ``pad_shape`` scatters into a larger
+    zero-padded map (rows/cols beyond height/width stay 0) so the Pallas
+    tail kernel can consume the packed map directly without a separate
+    unpack + pad pass.
     """
     n = ys.shape[0]
     out_h, out_w = pad_shape if pad_shape is not None else (height, width)
     assert out_h >= height and out_w >= width
+    if isinstance(index_offset, int):
+        assert (n + index_offset + 1) * PACK < 2**32, (
+            f"event capacity {n} overflows the uint32 PACK packing"
+        )
     disp_i = disp.astype(jnp.int32)
     ok = (
         inlier
@@ -75,29 +75,14 @@ def scatter_disp_packed(
         & (disp_i >= 0)
         & (disp_i < PACK)
     )
-    if priority is None or priority_is_event_index:
-        if isinstance(index_offset, int):
-            assert (n + index_offset + 1) * PACK < 2**32, (
-                f"event capacity {n} overflows the uint32 PACK packing"
-            )
-        if priority is None:
-            priority = jnp.arange(n, dtype=jnp.int32) + index_offset
-        packed = jnp.where(
-            ok,
-            (priority.astype(jnp.uint32) + 1) * jnp.uint32(PACK)
-            + disp_i.astype(jnp.uint32),
-            jnp.uint32(0),
-        )
-    else:
-        # Filter paths: priorities are pixel raster indices (up to ~5.8M),
-        # so pack with the narrower disparity field.
-        ok = ok & (disp_i < PACK_WIDE)
-        packed = jnp.where(
-            ok,
-            (priority.astype(jnp.uint32) + 1) * jnp.uint32(PACK_WIDE)
-            + disp_i.astype(jnp.uint32),
-            jnp.uint32(0),
-        )
+    if priority is None:
+        priority = jnp.arange(n, dtype=jnp.int32) + index_offset
+    packed = jnp.where(
+        ok,
+        (priority.astype(jnp.uint32) + 1) * jnp.uint32(PACK)
+        + disp_i.astype(jnp.uint32),
+        jnp.uint32(0),
+    )
     # Out-of-bounds scatter indices are dropped; route masked lanes there.
     ys_s = jnp.where(ok, ys, out_h)
     flat = jnp.zeros((out_h * out_w,), dtype=jnp.uint32)
@@ -107,12 +92,7 @@ def scatter_disp_packed(
 
 
 def unpack_disp(packed: jax.Array, pack: int = PACK) -> jax.Array:
-    """Recover the float32 disparity map from a packed map.
-
-    ``pack`` must match the field width the map was scattered with: PACK
-    for event-index priorities (the default paths), PACK_WIDE for the
-    dedup-filter raster priorities.
-    """
+    """Recover the float32 disparity map from a packed map."""
     return (packed % jnp.uint32(pack)).astype(jnp.float32)
 
 
