@@ -102,3 +102,82 @@ def test_full_processor_replay(raw_file, calib):
     # colorized depth frame must contain defined (non-white) pixels
     defined = (img != 255).any(axis=-1)
     assert defined.mean() > 0.1
+
+
+def test_trigger_finder_drop_frame(raw_file):
+    """drop_frame discards exactly one frame's worth of events (the
+    watchdog's lag recovery, reference trigger_finder.py:117-129)."""
+    path, depths, events = raw_file
+    frames = []
+    tf = RobustTriggerFinder(
+        projector_fps=FPS,
+        stats=StatsPrinter(silent=True),
+        frame_callback=lambda evs: frames.append(evs.copy()),
+    )
+    tf.drop_frame()  # request a drop before any events arrive
+    delta_t = 1e6 / FPS / 4
+    for packet in FileEventsIterator(path, delta_t=delta_t):
+        tf.process_events(packet)
+    n_dropped_run = len(frames)
+
+    frames2 = []
+    tf2 = RobustTriggerFinder(
+        projector_fps=FPS,
+        stats=StatsPrinter(silent=True),
+        frame_callback=lambda evs: frames2.append(evs.copy()),
+    )
+    for packet in FileEventsIterator(path, delta_t=delta_t):
+        tf2.process_events(packet)
+
+    assert len(frames2) - 1 <= n_dropped_run <= len(frames2)
+    # dropping must not corrupt later frames
+    for f in frames:
+        assert len(f) > 1000
+
+
+def test_processor_reset_supports_loop_replay(raw_file, calib):
+    """reset() lets the same processor replay the stream again
+    (--loop-input, reference depth_reprojection.py:72-78)."""
+    path, depths, events = raw_file
+    engine = XMapsDepthEngine.from_calibration(
+        calib, event_capacity=16384, z_near=0.2, z_far=1.2
+    )
+    params = RuntimeParams(
+        camera_width=calib.camera_width,
+        camera_height=calib.camera_height,
+        projector_width=calib.projector_width,
+        projector_height=calib.projector_height,
+        projector_fps=FPS,
+        z_near=0.2,
+        z_far=1.2,
+        calib="<in-memory>",
+        no_frame_dropping=True,
+    )
+    shown = []
+    proc = DepthReprojectionProcessor(
+        params=params, stats_printer=StatsPrinter(silent=True)
+    )
+    proc._pipe = DepthReprojectionPipe(
+        params=params,
+        stats_printer=proc.stats_printer,
+        frame_callback=lambda img: shown.append(img),
+        engine=engine,
+    )
+    from xmaps_tpu.runtime.processor import FakeWindow
+
+    proc._window = FakeWindow()
+    delta_t = 1e6 / FPS / 4
+
+    for packet in FileEventsIterator(path, delta_t=delta_t):
+        proc.process_events(packet)
+    proc._pipe.flush()
+    first_pass = len(shown)
+
+    proc.reset()
+    for packet in FileEventsIterator(path, delta_t=delta_t):
+        proc.process_events(packet)
+    proc._pipe.flush()
+
+    assert first_pass >= 1
+    assert len(shown) == 2 * first_pass
+    np.testing.assert_array_equal(shown[0], shown[first_pass])
