@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from xmaps_tpu.config import PipelineConfig
-from xmaps_tpu.ops.disparity import DisparityResult, compute_event_disparity
+from xmaps_tpu.ops.disparity import compute_event_disparity
 from xmaps_tpu.ops.event_batch import EventBatch
 from xmaps_tpu.ops.image_tail import (
     clip_normalize_u8,
