@@ -46,14 +46,10 @@ MAX_DISP = 900
 OOB_COST = 1.0e10  # dominates any in-bounds quadratic cost (reference: 100000)
 
 
-def disparity_init_dense(cam_rect, proj_rect, min_disp=MIN_DISP, max_disp=MAX_DISP):
-    """Row-wise nearest-time disparity search (reference :72-85), dense.
-
-    For each pixel c of each row, among nonzero projector pixels at
-    columns c+d, d in [min_disp, max_disp), pick the d minimizing
-    (proj - cam)^2 (first minimum on ties, like np.argmin); require at
-    least two nonzero candidates and a nonzero camera pixel.
-    """
+@functools.lru_cache(maxsize=None)
+def _disparity_init_jit():
+    """Module-cached jitted brute-force search (a fresh jit per call would
+    re-trace the 895-step loop for every scan)."""
     import jax
     import jax.numpy as jnp
 
@@ -85,9 +81,20 @@ def disparity_init_dense(cam_rect, proj_rect, min_disp=MIN_DISP, max_disp=MAX_DI
         ok = (cam != 0) & (count > 1)
         return jnp.where(ok, best_d, 0).astype(jnp.float32)
 
+    return run
+
+
+def disparity_init_dense(cam_rect, proj_rect, min_disp=MIN_DISP, max_disp=MAX_DISP):
+    """Row-wise nearest-time disparity search (reference :72-85), dense.
+
+    For each pixel c of each row, among nonzero projector pixels at
+    columns c+d, d in [min_disp, max_disp), pick the d minimizing
+    (proj - cam)^2 (first minimum on ties, like np.argmin); require at
+    least two nonzero candidates and a nonzero camera pixel.
+    """
     import jax.numpy as jnp
 
-    return run(
+    return _disparity_init_jit()(
         jnp.asarray(cam_rect, jnp.float32),
         jnp.asarray(proj_rect, jnp.float32),
         int(min_disp),
@@ -133,7 +140,8 @@ class RefinePlan:
 
 def depth_optimization_dense(depth_init, cam_image, plan: RefinePlan, iters: int = 64):
     """Refinement of every defined depth pixel at once (reference
-    depth_optimization, :104-129).
+    depth_optimization, :104-129).  The traced program is cached on the
+    plan (re-tracing the search loop per scan costs seconds).
 
     The cost is piecewise-constant in depth (integer projector pixel
     casts), which defeats gradient/golden-section schemes, so the bounded
@@ -142,6 +150,20 @@ def depth_optimization_dense(depth_init, cam_image, plan: RefinePlan, iters: int
     step of the best sample.  First minimum wins (np.argmin semantics);
     the initial depth is always among the samples, so the result never has
     a higher cost than the init."""
+    import jax
+
+    cache = getattr(plan, "_jit_cache", None)
+    if cache is None:
+        cache = plan._jit_cache = {}
+    fn = cache.get(iters)
+    if fn is None:
+        fn = cache[iters] = jax.jit(
+            functools.partial(_depth_optimization_impl, plan=plan, iters=iters)
+        )
+    return fn(depth_init, cam_image)
+
+
+def _depth_optimization_impl(depth_init, cam_image, *, plan, iters):
     import jax
     import jax.numpy as jnp
 
