@@ -50,6 +50,28 @@ def write_xmaps_yaml(path: str, calib) -> None:
         f.write(mat("relative_translation", calib.cam2proj_T))
 
 
+def shapes_depth_map(proj_w: int, proj_h: int, phase: float = 0.0) -> np.ndarray:
+    """A (H_proj, W_proj) scene: tilted backdrop, a bouncing sphere and a
+    floating box (depths in meters, projector view)."""
+    ys, xs = np.mgrid[0:proj_h, 0:proj_w].astype(np.float64)
+    u = xs / proj_w
+    v = ys / proj_h
+    depth = 0.85 + 0.15 * u + 0.05 * v  # tilted backdrop
+
+    # sphere bump (orbits slowly with phase)
+    cx = 0.5 + 0.18 * np.sin(2 * np.pi * phase)
+    cy = 0.45 + 0.1 * np.cos(2 * np.pi * phase)
+    r = 0.18
+    d2 = ((u - cx) / r) ** 2 + ((v - cy) / (r * proj_w / proj_h)) ** 2
+    bump = np.where(d2 < 1.0, np.sqrt(np.clip(1.0 - d2, 0, 1)), 0.0)
+    depth = depth - 0.22 * bump
+
+    # floating box
+    in_box = (np.abs(u - 0.72) < 0.1) & (np.abs(v - 0.72) < 0.12)
+    depth = np.where(in_box, 0.5, depth)
+    return depth
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Generate demo calibration + events")
     parser.add_argument("--out-dir", default="demo_data")
@@ -65,8 +87,9 @@ def main(argv=None):
     )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
-        "--scene", choices=["sweep", "wave"], default="sweep",
-        help="sweep: plane sweeping 0.4->0.9 m; wave: depth ripple",
+        "--scene", choices=["sweep", "wave", "shapes"], default="shapes",
+        help="sweep: plane sweeping 0.4->0.9 m; wave: depth ripple; "
+        "shapes: a bouncing sphere and box over a tilted backdrop",
     )
     args = parser.parse_args(argv)
 
@@ -91,9 +114,16 @@ def main(argv=None):
         depths = [
             0.4 + 0.5 * (k / max(args.frames - 1, 1)) for k in range(args.frames)
         ]
-    else:
+    elif args.scene == "wave":
         depths = [
             0.6 + 0.2 * np.sin(2 * np.pi * k / 30) for k in range(args.frames)
+        ]
+    else:
+        depths = [
+            shapes_depth_map(
+                args.projector_width, args.projector_height, phase=k / 30
+            )
+            for k in range(args.frames)
         ]
     # simulate_sequence inserts the vertical-blanking pauses the trigger
     # finder keys on (utils/synthetic.py)

@@ -84,11 +84,13 @@ def simulate_plane_events(
     scan_fraction: float = 1.0,
     t_offset_us: int = 0,
 ):
-    """Simulate one frame of events from a fronto-parallel plane.
+    """Simulate one frame of events from a scene surface.
 
-    Each projector pixel (xp, yp) is back-projected to the plane at
-    ``depth_m`` (in projector coordinates), transformed into the camera
-    frame, distorted and projected to a camera pixel; it fires at its linear
+    ``depth_m`` is either a scalar (fronto-parallel plane) or an
+    (H_proj, W_proj) per-projector-pixel depth map (arbitrary scene).
+    Each projector pixel (xp, yp) is back-projected to its scene depth
+    (in projector coordinates), transformed into the camera frame,
+    distorted and projected to a camera pixel; it fires at its linear
     scan time.  Returns a structured array sorted by t with fields x, y, p,
     t (int64 us), mirroring the Metavision EventCD layout.
     """
@@ -105,11 +107,16 @@ def simulate_plane_events(
         keep = rng.random(xs.shape[0]) < subsample
         xs, ys, t_norm = xs[keep], ys[keep], t_norm[keep]
 
-    # Projector pixel -> ray -> 3D point on the plane (projector frame).
+    if np.ndim(depth_m) == 2:
+        z = np.asarray(depth_m, np.float64)[ys, xs]
+    else:
+        z = np.full(xs.shape[0], float(depth_m))
+
+    # Projector pixel -> ray -> 3D point on the scene (projector frame).
     Kp = calib.projector_K
     xn = (xs - Kp[0, 2]) / Kp[0, 0]
     yn = (ys - Kp[1, 2]) / Kp[1, 1]
-    pts_proj = np.stack([xn * depth_m, yn * depth_m, np.full_like(xn, depth_m)], axis=1)
+    pts_proj = np.stack([xn * z, yn * z, z], axis=1)
 
     # Projector frame -> camera frame: X_proj = R X_cam + T, so
     # X_cam = R^T (X_proj - T).
@@ -174,7 +181,7 @@ def simulate_sequence(
     for k, z in enumerate(depths_m):
         ev = simulate_plane_events(
             calib,
-            depth_m=float(z),
+            depth_m=z if np.ndim(z) == 2 else float(z),
             frame_us=frame_us,
             rng=rng,
             jitter_us=jitter_us,
