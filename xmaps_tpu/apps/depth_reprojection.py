@@ -56,14 +56,14 @@ def project_events(bias, input, params, delta_t, ev_processor):
 @click.option(
     "--calib",
     help="path to yaml file with camera and projector intrinsic and extrinsic calibration",
-    type=click.Path(),
+    type=click.Path(exists=True),
     required=True,
 )
 @click.option("--bias", help="Path to bias file, only required for live camera", type=click.Path())
 @click.option(
     "--input",
     help="A .raw, .dat or .npy file with prerecorded events.",
-    type=click.Path(),
+    type=click.Path(exists=True),
     required=True,
 )
 @click.option("--loop-input", help="Loop input file", is_flag=True)
