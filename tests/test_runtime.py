@@ -58,8 +58,9 @@ def test_trigger_finder_segments_frames(raw_file, calib):
         assert len(f) > 1000
 
 
-def test_full_processor_replay(raw_file, calib):
-    path, depths, events = raw_file
+def _make_processor(calib):
+    """Headless processor with a prebuilt engine (the test calibration has
+    no YAML file); returns (proc, shown_frames)."""
     engine = XMapsDepthEngine.from_calibration(
         calib, event_capacity=16384, z_near=0.2, z_far=1.2
     )
@@ -75,11 +76,9 @@ def test_full_processor_replay(raw_file, calib):
         no_frame_dropping=True,
     )
     shown = []
-
     proc = DepthReprojectionProcessor(
         params=params, stats_printer=StatsPrinter(silent=True)
     )
-    # inject a prebuilt engine (the test calibration has no YAML file)
     proc._pipe = DepthReprojectionPipe(
         params=params,
         stats_printer=proc.stats_printer,
@@ -89,7 +88,12 @@ def test_full_processor_replay(raw_file, calib):
     from xmaps_tpu.runtime.processor import FakeWindow
 
     proc._window = FakeWindow()
+    return proc, shown
 
+
+def test_full_processor_replay(raw_file, calib):
+    path, depths, events = raw_file
+    proc, shown = _make_processor(calib)
     delta_t = 1e6 / FPS / 4
     for packet in FileEventsIterator(path, delta_t=delta_t):
         proc.process_events(packet)
@@ -105,67 +109,42 @@ def test_full_processor_replay(raw_file, calib):
 
 
 def test_trigger_finder_drop_frame(raw_file):
-    """drop_frame discards exactly one frame's worth of events (the
+    """A mid-stream drop_frame request discards a frame's worth of events,
+    so one fewer frame is emitted and later frames stay intact (the
     watchdog's lag recovery, reference trigger_finder.py:117-129)."""
     path, depths, events = raw_file
-    frames = []
-    tf = RobustTriggerFinder(
-        projector_fps=FPS,
-        stats=StatsPrinter(silent=True),
-        frame_callback=lambda evs: frames.append(evs.copy()),
-    )
-    tf.drop_frame()  # request a drop before any events arrive
     delta_t = 1e6 / FPS / 4
-    for packet in FileEventsIterator(path, delta_t=delta_t):
-        tf.process_events(packet)
-    n_dropped_run = len(frames)
 
-    frames2 = []
-    tf2 = RobustTriggerFinder(
-        projector_fps=FPS,
-        stats=StatsPrinter(silent=True),
-        frame_callback=lambda evs: frames2.append(evs.copy()),
-    )
-    for packet in FileEventsIterator(path, delta_t=delta_t):
-        tf2.process_events(packet)
+    def run(drop_after):
+        frames = []
+        tf = RobustTriggerFinder(
+            projector_fps=FPS,
+            stats=StatsPrinter(silent=True),
+            frame_callback=lambda evs: frames.append(evs.copy()),
+        )
+        dropped = False
+        for packet in FileEventsIterator(path, delta_t=delta_t):
+            if not dropped and drop_after is not None and len(frames) >= drop_after:
+                tf.drop_frame()
+                dropped = True
+            tf.process_events(packet)
+        return frames
 
-    assert len(frames2) - 1 <= n_dropped_run <= len(frames2)
-    # dropping must not corrupt later frames
-    for f in frames:
+    baseline = run(None)
+    with_drop = run(1)  # request the drop after the first emitted frame
+    assert len(with_drop) == len(baseline) - 1
+    # dropping must not corrupt the frames around the gap
+    for f in with_drop:
         assert len(f) > 1000
+        span = f["t"][-1] - f["t"][0]
+        assert 1e6 / FPS / 2 < span <= 1e6 / FPS
 
 
 def test_processor_reset_supports_loop_replay(raw_file, calib):
     """reset() lets the same processor replay the stream again
     (--loop-input, reference depth_reprojection.py:72-78)."""
     path, depths, events = raw_file
-    engine = XMapsDepthEngine.from_calibration(
-        calib, event_capacity=16384, z_near=0.2, z_far=1.2
-    )
-    params = RuntimeParams(
-        camera_width=calib.camera_width,
-        camera_height=calib.camera_height,
-        projector_width=calib.projector_width,
-        projector_height=calib.projector_height,
-        projector_fps=FPS,
-        z_near=0.2,
-        z_far=1.2,
-        calib="<in-memory>",
-        no_frame_dropping=True,
-    )
-    shown = []
-    proc = DepthReprojectionProcessor(
-        params=params, stats_printer=StatsPrinter(silent=True)
-    )
-    proc._pipe = DepthReprojectionPipe(
-        params=params,
-        stats_printer=proc.stats_printer,
-        frame_callback=lambda img: shown.append(img),
-        engine=engine,
-    )
-    from xmaps_tpu.runtime.processor import FakeWindow
-
-    proc._window = FakeWindow()
+    proc, shown = _make_processor(calib)
     delta_t = 1e6 / FPS / 4
 
     for packet in FileEventsIterator(path, delta_t=delta_t):

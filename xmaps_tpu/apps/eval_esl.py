@@ -18,9 +18,10 @@ table, SURVEY.md §4):
   patch cost collapses to a closed quadratic in the projected scan time:
   three (2w+1)^2 stencil sums of the camera image are precomputed once and
   every cost evaluation becomes elementwise math -- no gathers.  scipy's
-  bounded Brent is replaced by fixed-iteration golden-section over the
+  bounded Brent is replaced by a bounded two-level grid search over the
   same per-pixel bounds depth +- depth^2/P[0,3] (reference :110-112),
-  evaluated for ALL pixels simultaneously.
+  evaluated for ALL pixels simultaneously (the cost is piecewise-constant
+  in depth, which defeats Brent/golden-section schemes).
 - bilateral + split-Bregman TV denoise (reference :242-247) via
   utils.denoise.
 
@@ -136,6 +137,8 @@ class RefinePlan:
         self.proj_w = int(proj_w)
         self.proj_h = int(proj_h)
         self.p03 = float(maps.P2[0, 3])
+        # per-iters traced refinement programs (see depth_optimization_dense)
+        self._jit_cache = {}
 
 
 def depth_optimization_dense(depth_init, cam_image, plan: RefinePlan, iters: int = 64):
@@ -152,12 +155,9 @@ def depth_optimization_dense(depth_init, cam_image, plan: RefinePlan, iters: int
     a higher cost than the init."""
     import jax
 
-    cache = getattr(plan, "_jit_cache", None)
-    if cache is None:
-        cache = plan._jit_cache = {}
-    fn = cache.get(iters)
+    fn = plan._jit_cache.get(iters)
     if fn is None:
-        fn = cache[iters] = jax.jit(
+        fn = plan._jit_cache[iters] = jax.jit(
             functools.partial(_depth_optimization_impl, plan=plan, iters=iters)
         )
     return fn(depth_init, cam_image)

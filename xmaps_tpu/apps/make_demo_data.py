@@ -8,7 +8,8 @@ zero hardware and zero downloads:
         --calib /tmp/demo/calibration.yaml --input /tmp/demo/events.raw \\
         --z-near 0.3 --z-far 1.2 --window files --out-dir /tmp/demo/frames
 
-The scene is a depth-animated plane (optionally a sinusoidal "wave")
+The default scene is a bouncing sphere and a floating box over a tilted
+backdrop (--scene shapes; "sweep" and "wave" animate a plane instead),
 observed by a simulated 640x480 event camera watching a 720x1280 @60 Hz
 scanning laser projector -- the reference demonstrator's geometry
 (README.md:30, paper html:260-263).  The recording is written in the
