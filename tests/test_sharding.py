@@ -79,3 +79,51 @@ def test_sharded_matches_single_chip(rig, data, event):
 def test_mesh_shapes():
     mesh = make_mesh(jax.devices(), data=4, event=2)
     assert mesh.shape == {"data": 4, "event": 2}
+
+
+def test_sharded_pallas_plans_match(rig):
+    """Data-parallel mesh with the Pallas plans (interpret mode) must be
+    bit-identical to the plan-free sharded pipeline -- the multi-chip
+    deployment runs the full single-chip fused kernels per device."""
+    calib, cfg, tables = rig
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+
+    from xmaps_tpu.ops.pallas_events import build_event_gather_plan
+    from xmaps_tpu.ops.pallas_tail import build_tail_plan
+
+    maps = CamProjMaps(calib)
+    event_plan = build_event_gather_plan(
+        tables.cam_map_packed, np.asarray(tables.x_map)
+    )
+    tail_plan = build_tail_plan(
+        maps.disp_proj_mapx_i16,
+        maps.disp_proj_mapy_i16,
+        calib.rect_image_height,
+        calib.rect_image_width,
+        p03=float(maps.P2[0, 3]),
+        z_near=cfg.z_near,
+        z_far=cfg.z_far,
+    )
+
+    depths = [0.5, 0.7]
+    batches = [
+        EventBatch.from_structured(
+            simulate_plane_events(calib, depth_m=z, jitter_us=2.0),
+            cfg.event_capacity,
+        )
+        for z in depths
+    ]
+    mesh = make_mesh(jax.devices()[:2], data=2, event=1)
+    ref_pipe = make_sharded_pipeline(cfg, tables, mesh)
+    fast_pipe = make_sharded_pipeline(
+        cfg, tables, mesh,
+        tail_plan=tail_plan, event_plan=event_plan, pallas_interpret=True,
+    )
+    stacked = shard_batches(batches, mesh, cfg)
+    want = ref_pipe(stacked)
+    got = fast_pipe(stacked)
+    np.testing.assert_array_equal(np.asarray(got.depth), np.asarray(want.depth))
+    np.testing.assert_array_equal(
+        np.asarray(got.frame_bgr), np.asarray(want.frame_bgr)
+    )

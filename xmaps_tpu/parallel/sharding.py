@@ -125,13 +125,26 @@ def _frame_event_sharded(
     )
 
 
-def make_sharded_pipeline(cfg: PipelineConfig, tables: DeviceTables, mesh: Mesh):
+def make_sharded_pipeline(
+    cfg: PipelineConfig,
+    tables: DeviceTables,
+    mesh: Mesh,
+    tail_plan=None,
+    event_plan=None,
+    pallas_interpret: bool = False,
+):
     """Build the jitted multi-chip pipeline over stacked frame batches.
 
     Input: an EventBatch whose leaves carry a leading frame axis B
     (B % mesh['data'] == 0) and event capacity N (N % mesh['event'] == 0).
     Output: FrameResult with leading axis B, sharded over 'data' and
     replicated over 'event'.
+
+    With a pure data-parallel mesh (event == 1) the optional Pallas plans
+    (ops.pallas_tail / ops.pallas_events) run the full single-chip fused
+    kernels on every device -- frames are independent, so per-chip
+    performance matches the single-chip path exactly.  Event-sharded
+    meshes use the XLA ops (the collectives cut through the fused stages).
     """
     ev_shards = mesh.shape["event"]
     local_capacity = cfg.event_capacity // ev_shards
@@ -141,11 +154,8 @@ def make_sharded_pipeline(cfg: PipelineConfig, tables: DeviceTables, mesh: Mesh)
         f"event capacity {cfg.event_capacity} overflows the uint32 packing"
     )
 
-    frame_fn = functools.partial(
-        _frame_event_sharded,
-        cfg=cfg,
-        axis_name="event",
-        local_capacity=local_capacity,
+    use_plans = ev_shards == 1 and (
+        tail_plan is not None or event_plan is not None
     )
 
     batch_specs = EventBatch(
@@ -163,8 +173,36 @@ def make_sharded_pipeline(cfg: PipelineConfig, tables: DeviceTables, mesh: Mesh)
         num_inliers=P("data"),
     )
 
-    def local_fn(batch: EventBatch, tables: DeviceTables) -> FrameResult:
-        return jax.vmap(frame_fn, in_axes=(0, None))(batch, tables)
+    if use_plans:
+        from xmaps_tpu.ops.frame_pipeline import depth_frame
+
+        def local_fn(batch: EventBatch, tables: DeviceTables) -> FrameResult:
+            # static per-device frame count; unrolled python loop because
+            # Pallas kernels do not support vmap batching
+            b_local = batch.x.shape[0]
+            outs = [
+                depth_frame(
+                    jax.tree.map(lambda a: a[i], batch),
+                    tables,
+                    cfg,
+                    tail_plan=tail_plan,
+                    event_plan=event_plan,
+                    pallas_interpret=pallas_interpret,
+                )
+                for i in range(b_local)
+            ]
+            return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *outs)
+
+    else:
+        frame_fn = functools.partial(
+            _frame_event_sharded,
+            cfg=cfg,
+            axis_name="event",
+            local_capacity=local_capacity,
+        )
+
+        def local_fn(batch: EventBatch, tables: DeviceTables) -> FrameResult:
+            return jax.vmap(frame_fn, in_axes=(0, None))(batch, tables)
 
     sharded = jax.shard_map(
         local_fn,
