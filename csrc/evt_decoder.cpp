@@ -227,6 +227,15 @@ int64_t evt_decode(void* h, int64_t max_events, uint16_t* xs, uint16_t* ys,
           int bits = (type == 0x4) ? 12 : 8;
           uint16_t mask = w & ((1u << bits) - 1);
           if (d->time_high >= 0) {
+            int need = __builtin_popcount(mask);
+            if (n + need > max_events && need <= max_events) {
+              // Not enough room for the whole vector in this call:
+              // un-consume the word (the bytes are still in buf) so the
+              // next evt_decode re-reads it with identical row state, and
+              // leave vect_base_x un-advanced.
+              d->buf_pos -= 2;
+              return n;
+            }
             int64_t th = (d->time_high_ovf << 12) + d->time_high;
             int64_t t = (th << 12) | d->time_low;
             for (int i = 0; i < bits && n < max_events; i++) {
@@ -238,9 +247,6 @@ int64_t evt_decode(void* h, int64_t max_events, uint16_t* xs, uint16_t* ys,
                 n++;
               }
             }
-            // NOTE: if max_events hit mid-vector we drop the tail of this
-            // vector word; callers size buffers generously (the Python
-            // wrapper re-issues with the same state otherwise).
           }
           d->vect_base_x += bits;
           break;

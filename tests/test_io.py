@@ -90,6 +90,34 @@ def test_evt2_time_high_rollover():
     np.testing.assert_array_equal(dec["t"], ev["t"])
 
 
+def test_evt3_chunk_boundaries_lose_no_events(tmp_path, events):
+    """Chunked native decode == one-shot decode for every chunk size.
+
+    Regression test for the mid-vector capacity bug: when evt_decode's
+    output buffer fills inside a VECT_12/VECT_8 word, the word must be
+    re-issued on the next call instead of dropping its remaining bits.
+    Odd chunk sizes force the boundary to land mid-vector."""
+    # dense same-(t, y) runs of consecutive x -> guaranteed VECT_12 words
+    n = 4096
+    ev = np.zeros(n, dtype=EVENT_DTYPE)
+    ev["x"] = np.tile(np.arange(64), n // 64) + 37
+    ev["y"] = np.repeat(np.arange(n // 64), 64) % 480
+    ev["p"] = 1
+    ev["t"] = np.repeat(np.arange(n // 64), 64) * 11
+
+    path = str(tmp_path / "chunks.raw")
+    with open(path, "wb") as f:
+        f.write(encode_evt3(ev, 640, 480))
+    want = decode_file(path)
+    assert len(want) == n
+
+    for chunk in (13, 100, 4097):
+        dec = EvtDecoder(path, chunk_events=chunk)
+        got = np.concatenate(list(dec) or [np.zeros(0, dtype=EVENT_DTYPE)])
+        dec.close()
+        np.testing.assert_array_equal(got, want)
+
+
 def test_iterator_packets(tmp_path, events):
     path = str(tmp_path / "pkt.raw")
     with open(path, "wb") as f:

@@ -76,6 +76,44 @@ def test_sharded_matches_single_chip(rig, data, event):
         assert int(out.num_inliers[i]) == int(ref.num_inliers)
 
 
+@pytest.mark.parametrize(
+    "name", ["first_per_yt", "first_per_xy", "last_per_xy",
+             "mean_first_last_per_xy"]
+)
+def test_sharded_frame_filter_matches_single_chip(rig, name):
+    """Event-sharded meshes must apply the configured dedup filter with
+    global winners/ranks (all_gather + replicated filter), staying
+    bit-identical to the single-chip depth_frame."""
+    calib, cfg, tables = rig
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    import dataclasses
+    cfg = dataclasses.replace(cfg, frame_filter=name)
+
+    depths = [0.5, 0.7]
+    batches = [
+        EventBatch.from_structured(
+            simulate_plane_events(calib, depth_m=z, jitter_us=2.0),
+            cfg.event_capacity,
+        )
+        for z in depths
+    ]
+    mesh = make_mesh(jax.devices()[:8], data=2, event=4)
+    pipeline = make_sharded_pipeline(cfg, tables, mesh)
+    stacked = shard_batches(batches, mesh, cfg)
+    out = pipeline(stacked)
+
+    for i, b in enumerate(batches):
+        ref = depth_frame(b, tables, cfg)
+        np.testing.assert_array_equal(
+            np.asarray(out.disp_map)[i], np.asarray(ref.disp_map)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.frame_bgr)[i], np.asarray(ref.frame_bgr)
+        )
+        assert int(out.num_inliers[i]) == int(ref.num_inliers)
+
+
 def test_mesh_shapes():
     mesh = make_mesh(jax.devices(), data=4, event=2)
     assert mesh.shape == {"data": 4, "event": 2}

@@ -15,6 +15,7 @@ Supported containers:
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from typing import Iterator, Optional
@@ -25,7 +26,6 @@ EVENT_DTYPE = np.dtype(
     [("x", "<u2"), ("y", "<u2"), ("p", "<i2"), ("t", "<i8")]
 )
 
-_LIB_PATH = os.path.join(os.path.dirname(__file__), "libevt_decoder.so")
 _CSRC = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "csrc",
@@ -33,37 +33,49 @@ _CSRC = os.path.join(
 )
 
 _lib = None
+_lib_tried = False
+
+
+def _lib_path() -> Optional[str]:
+    """Build-artifact path, keyed by source content hash.
+
+    The .so is built on first use (never committed); hashing the source
+    makes staleness detection exact — mtimes are unreliable after a git
+    checkout, which stamps .cpp and any stale artifact identically.
+    """
+    if not os.path.exists(_CSRC):
+        return None
+    with open(_CSRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(
+        os.path.dirname(__file__), f"libevt_decoder-{digest}.so"
+    )
 
 
 def _load_native() -> Optional[ctypes.CDLL]:
-    global _lib
-    if _lib is not None:
+    global _lib, _lib_tried
+    if _lib_tried:
         return _lib
-    stale = (
-        os.path.exists(_LIB_PATH)
-        and os.path.exists(_CSRC)
-        and os.path.getmtime(_CSRC) > os.path.getmtime(_LIB_PATH)
-    )
-    if stale:
-        try:
-            os.remove(_LIB_PATH)
-        except OSError:
-            pass
-    if not os.path.exists(_LIB_PATH) and os.path.exists(_CSRC):
+    _lib_tried = True
+    path = _lib_path()
+    if path is None:
+        return None
+    if not os.path.exists(path):
         try:
             subprocess.run(
                 [
                     "g++", "-O3", "-fPIC", "-std=c++17", "-shared",
-                    "-o", _LIB_PATH, _CSRC,
+                    "-o", path, _CSRC,
                 ],
                 check=True,
                 capture_output=True,
             )
         except (OSError, subprocess.CalledProcessError):
-            return None
-    if not os.path.exists(_LIB_PATH):
-        return None
-    lib = ctypes.CDLL(_LIB_PATH)
+            return None  # no toolchain: NumPy fallback (never a stale lib)
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None  # wrong arch/glibc etc.: NumPy fallback
     lib.evt_open.restype = ctypes.c_void_p
     lib.evt_open.argtypes = [ctypes.c_char_p, ctypes.c_int32]
     lib.evt_close.argtypes = [ctypes.c_void_p]

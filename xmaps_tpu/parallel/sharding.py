@@ -68,7 +68,52 @@ def _frame_event_sharded(
     """Per-frame pipeline over a local event shard (inside shard_map)."""
     shard = jax.lax.axis_index(axis_name)
 
-    # Global frame time window (2-scalar collectives over ICI).
+    priority = None
+    if cfg.frame_filter != "none":
+        # Dedup filters need global per-key winners and globally consistent
+        # scatter ranks, so gather the whole frame over the event axis
+        # (one all_gather per field), filter it replicated, and slice this
+        # shard's lanes back out.  Filters are off the hot path; the
+        # all_gather cost is accepted for bit-identity with single-chip.
+        from xmaps_tpu.ops.disparity import rectify_events_packed
+        from xmaps_tpu.ops.filters import apply_frame_filter
+
+        gather = functools.partial(
+            jax.lax.all_gather, axis_name=axis_name, tiled=True
+        )
+        full = EventBatch(
+            x=gather(batch.x),
+            y=gather(batch.y),
+            t=gather(batch.t),
+            p=gather(batch.p),
+            valid=gather(batch.valid),
+            count=batch.count,
+        )
+        xr_full, _ = rectify_events_packed(
+            full.x, full.y, tables.cam_map_packed
+        )
+        fb = apply_frame_filter(
+            full,
+            xr_full,
+            name=cfg.frame_filter,
+            camera_width=cfg.camera_width,
+            camera_height=cfg.camera_height,
+            rect_width=cfg.rect_width,
+        )
+        start = shard * local_capacity
+        slc = lambda a: jax.lax.dynamic_slice_in_dim(a, start, local_capacity)
+        batch = EventBatch(
+            x=slc(fb.batch.x),
+            y=slc(fb.batch.y),
+            t=slc(fb.batch.t),
+            p=slc(fb.batch.p),
+            valid=slc(fb.batch.valid),
+            count=batch.count,
+        )
+        priority = slc(fb.scatter_priority)
+
+    # Global frame time window over the (possibly filtered) events
+    # (2-scalar collectives over ICI).
     t_min, t_max = time_bounds(batch.t, batch.valid)
     t_min = jax.lax.pmin(t_min, axis_name)
     t_max = jax.lax.pmax(t_max, axis_name)
@@ -82,6 +127,8 @@ def _frame_event_sharded(
         t_bounds=(t_min, t_max),
     )
 
+    # Without a filter, the global event index (shard offset + lane) is the
+    # last-write-wins priority; dedup filters supply a global dense rank.
     index_offset = shard * local_capacity
     if cfg.camera_perspective:
         packed = scatter_disp_packed(
@@ -92,6 +139,7 @@ def _frame_event_sharded(
             height=cfg.camera_height,
             width=cfg.camera_width,
             index_offset=index_offset,
+            priority=priority,
         )
         packed = jax.lax.pmax(packed, axis_name)
         disp_map = unpack_disp(packed)
@@ -105,6 +153,7 @@ def _frame_event_sharded(
             height=cfg.rect_height,
             width=cfg.rect_width,
             index_offset=index_offset,
+            priority=priority,
         )
         # Combine partial scatters: max of packed values == global
         # last-write-wins (all-reduce over ICI).
