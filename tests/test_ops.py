@@ -131,6 +131,35 @@ def test_scatter_last_write_wins(rng):
     np.testing.assert_array_equal(np.asarray(out), ref)
 
 
+def test_scatter_sorted_method_bit_identical(rng):
+    """The sort-dedup unique-set strategy must equal scatter-max exactly,
+    including priorities, padding, and out-of-bounds routing."""
+    from xmaps_tpu.ops.scatter import scatter_disp_packed
+
+    H, W = 37, 53
+    n = 4096
+    ys = rng.integers(-2, H + 2, n).astype(np.int32)
+    xs = rng.integers(-2, W + 2, n).astype(np.int32)
+    disp = rng.integers(0, 300, n).astype(np.float32)
+    inlier = rng.random(n) < 0.8
+    prio = rng.permutation(n).astype(np.int32)
+
+    for kw in (
+        dict(),
+        dict(priority=jnp.asarray(prio)),
+        dict(pad_shape=(48, 128)),
+    ):
+        a = scatter_disp_packed(
+            jnp.asarray(ys), jnp.asarray(xs), jnp.asarray(disp),
+            jnp.asarray(inlier), height=H, width=W, method="max", **kw,
+        )
+        b = scatter_disp_packed(
+            jnp.asarray(ys), jnp.asarray(xs), jnp.asarray(disp),
+            jnp.asarray(inlier), height=H, width=W, method="sorted", **kw,
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_scatter_drops_out_of_bounds(rng):
     H, W = 16, 16
     ys = np.array([0, 5, -3, 20, 8], dtype=np.int32)

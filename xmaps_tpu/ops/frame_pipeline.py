@@ -139,6 +139,10 @@ def depth_frame(
 
     from xmaps_tpu.ops.scatter import PACK
 
+    # The sort-dedup scatter strategy wins on TPU (unique-indices set
+    # parallelizes; duplicate-capable max serializes) -- see ops.scatter.
+    scatter_method = "sorted" if use_pallas_events else "max"
+
     if cfg.camera_perspective:
         disp_map = unpack_disp(
             scatter_disp_packed(
@@ -149,6 +153,7 @@ def depth_frame(
                 height=cfg.camera_height,
                 width=cfg.camera_width,
                 priority=priority,
+                method=scatter_method,
             )
         )
         disp_for_depth = disp_map
@@ -168,6 +173,7 @@ def depth_frame(
                 width=cfg.rect_width,
                 priority=priority,
                 pad_shape=(tail_plan.H_pad, tail_plan.W_pad),
+                method=scatter_method,
             )
             frame, depth, disp_map = pallas_tail(
                 packed_map,

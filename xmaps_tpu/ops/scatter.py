@@ -42,9 +42,9 @@ def scatter_disp_packed(
     index_offset: jax.Array | int = 0,
     priority: jax.Array | None = None,
     pad_shape: tuple[int, int] | None = None,
+    method: str = "max",
 ) -> jax.Array:
-    """Scatter index-packed disparities with max; returns the packed
-    uint32 map.
+    """Scatter index-packed disparities; returns the packed uint32 map.
 
     The last-write-wins priority is the event index by default (NumPy
     fancy-indexing order); ``index_offset`` shifts it so event shards on
@@ -57,6 +57,15 @@ def scatter_disp_packed(
     zero-padded map (rows/cols beyond height/width stay 0) so the Pallas
     tail kernel can consume the packed map directly without a separate
     unpack + pad pass.
+
+    ``method`` selects the strategy (identical results):
+
+    - "max": one scatter-max of the packed values.  XLA serializes
+      duplicate-capable scatters on TPU (~8 ns/event).
+    - "sorted": sort by (pixel, packed), keep only each pixel's winner
+      (the max-packed lane = the max-priority event), then a
+      unique-indices scatter-set, which XLA parallelizes.  ~30% faster
+      on TPU at 28k events despite the extra sort.
     """
     n = ys.shape[0]
     out_h, out_w = pad_shape if pad_shape is not None else (height, width)
@@ -84,10 +93,17 @@ def scatter_disp_packed(
         jnp.uint32(0),
     )
     # Out-of-bounds scatter indices are dropped; route masked lanes there.
-    ys_s = jnp.where(ok, ys, out_h)
+    lin = jnp.where(ok, ys * out_w + xs, out_h * out_w)
     flat = jnp.zeros((out_h * out_w,), dtype=jnp.uint32)
-    lin = ys_s * out_w + xs
-    flat = flat.at[lin].max(packed, mode="drop")
+    if method == "sorted":
+        lin_s, packed_s = jax.lax.sort((lin, packed), num_keys=2)
+        is_win = jnp.concatenate(
+            [lin_s[:-1] != lin_s[1:], jnp.ones((1,), jnp.bool_)]
+        ) & (lin_s < out_h * out_w)
+        tgt = jnp.where(is_win, lin_s, out_h * out_w)
+        flat = flat.at[tgt].set(packed_s, mode="drop", unique_indices=True)
+    else:
+        flat = flat.at[lin].max(packed, mode="drop")
     return flat.reshape(out_h, out_w)
 
 
