@@ -54,3 +54,32 @@ def test_demo_data_roundtrip(tmp_path):
     # the scene depth range (shapes: ~0.5..1.05 m) must be recovered
     dmap = shapes_depth_map(64, 96, phase=0.0)
     assert abs(np.median(depth[valid]) - np.median(dmap)) < 0.1
+
+
+def test_dump_frame_csv(tmp_path):
+    """The per-frame debug CSV (engine.dump_frame_csv) lists every inlier
+    with raw coords, rectified coords and disparity."""
+    import csv
+
+    from xmaps_tpu.utils.synthetic import (
+        make_synthetic_calibration,
+        simulate_plane_events,
+    )
+
+    calib = make_synthetic_calibration()
+    engine = XMapsDepthEngine.from_calibration(
+        calib, event_capacity=8192, z_near=0.2, z_far=1.2
+    )
+    events = simulate_plane_events(calib, depth_m=0.6, subsample=0.3)
+    path = tmp_path / "frame.csv"
+    n = engine.dump_frame_csv(events, str(path))
+    assert n > 100
+
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == n
+    disp = np.array([float(r["disp"]) for r in rows])
+    assert (disp >= 0).all()
+    # rectified coordinates must be inside the rectified image
+    yr = np.array([int(r["y_r"]) for r in rows])
+    assert (yr >= 0).all() and (yr < calib.rect_image_height).all()

@@ -42,40 +42,40 @@ def project_events(bias, input, params, delta_t, ev_processor):
 
 
 @click.command()
-@click.option("--projector-width", default=720, help="Projector width in pixels", type=int)
-@click.option("--projector-height", default=1280, help="Projector height in pixels", type=int)
-@click.option("--projector-fps", default=60, help="Projector fps", type=int)
+@click.option("--projector-width", default=720, help="Scanning-projector horizontal resolution [px]", type=int)
+@click.option("--projector-height", default=1280, help="Scanning-projector vertical resolution [px]", type=int)
+@click.option("--projector-fps", default=60, help="Projector refresh rate [Hz]; sets the frame segmentation period", type=int)
 @click.option(
     "--projector-time-map",
-    help="Path to calibrated projector time map file (*.npy). If left empty, "
-    "a linear time map will be used.",
+    help="Precalibrated rectified projector time map (.npy). Without it, the "
+    "ideal linear scan pattern is synthesized and rectified at startup.",
     type=click.Path(),
 )
-@click.option("--z-near", default=0.1, help="Minimum depth [m] for visualization", type=float)
-@click.option("--z-far", default=1.0, help="Maximum depth [m] for visualization", type=float)
+@click.option("--z-near", default=0.1, help="Near clip [m] of the depth colormap", type=float)
+@click.option("--z-far", default=1.0, help="Far clip [m] of the depth colormap", type=float)
 @click.option(
     "--calib",
-    help="path to yaml file with camera and projector intrinsic and extrinsic calibration",
+    help="OpenCV-style YAML with the stereo (camera+projector) calibration; both the X-maps and ESL dialects load",
     type=click.Path(exists=True),
     required=True,
 )
-@click.option("--bias", help="Path to bias file, only required for live camera", type=click.Path())
+@click.option("--bias", help="Sensor .bias settings file (live-capture seam; unused for file replay)", type=click.Path())
 @click.option(
     "--input",
-    help="A .raw, .dat or .npy file with prerecorded events.",
+    help="Prerecorded event stream to replay: EVT2/EVT3 .raw, .dat, or structured .npy.",
     type=click.Path(exists=True),
     required=True,
 )
-@click.option("--loop-input", help="Loop input file", is_flag=True)
+@click.option("--loop-input", help="Restart the replay from the top when the file ends", is_flag=True)
 @click.option(
     "--no-frame-dropping",
-    help="Process all events, even when processing lags behind the event stream",
+    help="Disable the timing watchdog: never skip a frame of events to catch up with the stream",
     is_flag=True,
 )
 @click.option(
     "--camera-perspective",
-    help="By default the depth is rendered from the projector's perspective. "
-    "Enable this flag to render from the camera perspective instead.",
+    help="Render depth on the raw 640x480 camera grid instead of the default "
+    "projector-view reprojection (the SAR use case).",
     is_flag=True,
 )
 @click.option(

@@ -41,8 +41,9 @@ def scan_image_to_events(cam_image: np.ndarray):
 
 def main(argv=None):
     parser = argparse.ArgumentParser(
-        description="Depth estimation of event camera and projector system "
-        "using point scanning projection (TPU)",
+        description="Offline X-maps depth over ESL-style scan images "
+        "(time-surface .npy per scan) on TPU; flag-compatible with the "
+        "reference eval entry point",
         formatter_class=argparse.RawTextHelpFormatter,
     )
     parser.add_argument("-object_dir", type=str, default="", help="Directory containing scans_np/*.npy")

@@ -228,6 +228,39 @@ class XMapsDepthEngine:
     def process_batch_device(self, batch: EventBatch) -> FrameResult:
         return self._frame_fn(batch, self.tables)
 
+    def dump_frame_csv(self, events: np.ndarray, csv_path: str) -> int:
+        """Write one frame's per-event debug CSV: raw coords, rectified
+        coords and disparity for every inlier (the reference's debug dump,
+        depth_reprojection_pipe.py:19-34).  Returns the inlier count.
+
+        Runs the per-event stage only (no scatter/tail) and fetches to
+        host; intended for offline inspection, not the hot path.
+        """
+        import csv
+
+        from xmaps_tpu.ops.disparity import compute_event_disparity
+
+        batch = self.make_batch(events)
+        res = compute_event_disparity(
+            batch,
+            self.tables.cam_mapx_i16,
+            self.tables.cam_mapy_i16,
+            self.tables.x_map,
+            t_px_scale=self.cfg.t_px_scale,
+        )
+        keep = np.asarray(res.inlier)
+        xr = np.asarray(res.x_rect)[keep]
+        yr = np.asarray(res.y_rect)[keep]
+        disp = np.asarray(res.disp)[keep]
+        x = np.asarray(batch.x)[keep]
+        y = np.asarray(batch.y)[keep]
+        t = np.asarray(batch.t)[keep]
+        with open(csv_path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["x", "y", "t", "x_r", "y_r", "disp"])
+            w.writerows(zip(x, y, t, xr, yr, disp))
+        return int(keep.sum())
+
     @property
     def frame_fn(self):
         """The underlying jitted (batch, tables) -> FrameResult function."""

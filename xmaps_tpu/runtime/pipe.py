@@ -27,24 +27,6 @@ from xmaps_tpu.runtime.watchdog import TimingWatchdog
 from xmaps_tpu.utils.stats import SingleTimer, StatsPrinter
 
 
-def dump_frame_data(events, inlier_mask, xr, yr, disp, csv_name="frame.csv"):
-    """Per-frame per-event debug CSV (reference:
-    depth_reprojection_pipe.py:19-34)."""
-    import pandas as pd
-
-    df = pd.DataFrame(
-        {
-            "x": events["x"][inlier_mask],
-            "y": events["y"][inlier_mask],
-            "t": events["t"][inlier_mask],
-            "x_r": xr[inlier_mask],
-            "y_r": yr[inlier_mask],
-            "disp": disp[inlier_mask],
-        }
-    )
-    df.to_csv(csv_name, index=False)
-
-
 @dataclass
 class DepthReprojectionPipe:
     params: RuntimeParams
