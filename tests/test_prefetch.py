@@ -1,0 +1,84 @@
+"""Host staging pool: in-place reuse, from_structured equivalence, and the
+donating frame path."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from xmaps_tpu.io.evt_decoder import EVENT_DTYPE
+from xmaps_tpu.io.prefetch import HostStagingPool
+from xmaps_tpu.ops.event_batch import EventBatch
+
+
+def _events(rng, n, t0=1_000_000):
+    ev = np.zeros(n, dtype=EVENT_DTYPE)
+    ev["x"] = rng.integers(0, 640, n)
+    ev["y"] = rng.integers(0, 480, n)
+    ev["p"] = rng.integers(0, 2, n)
+    ev["t"] = t0 + np.sort(rng.integers(0, 16_000, n))
+    return ev
+
+
+@pytest.mark.parametrize("sizes", [(100, 700, 300), (512, 512), (600, 0, 10)])
+def test_stage_matches_from_structured(sizes, rng):
+    cap = 512
+    pool = HostStagingPool(cap, depth=2)
+    for i, n in enumerate(sizes):
+        ev = _events(rng, n, t0=1_000_000 * (i + 1))
+        got = pool.stage(ev)
+        want = EventBatch.from_structured(ev, cap)
+        for field in EventBatch._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, field)),
+                np.asarray(getattr(want, field)),
+                err_msg=f"{field} differs at frame {i} (n={n})",
+            )
+    assert pool.frames_staged == len(sizes)
+    assert pool.events_truncated == sum(max(0, n - cap) for n in sizes)
+
+
+def test_host_buffers_are_reused(rng):
+    pool = HostStagingPool(256, depth=2)
+    ids0 = {k: id(v) for k, v in pool._slots[0].items()}
+    for i in range(6):
+        pool.stage(_events(rng, 100 + i))
+    assert {k: id(v) for k, v in pool._slots[0].items()} == ids0
+
+
+def test_stale_slot_contents_never_leak(rng):
+    """A short frame staged into a slot that previously held a long frame
+    must not expose the long frame's tail."""
+    cap = 512
+    pool = HostStagingPool(cap, depth=2)
+    pool.stage(_events(rng, 500))  # slot 0, long
+    pool.stage(_events(rng, 400))  # slot 1
+    short = _events(rng, 5)
+    got = pool.stage(short)  # slot 0 again, short
+    assert int(got.count) == 5
+    assert not np.asarray(got.valid)[5:].any()
+    assert np.asarray(got.x)[5:].sum() == 0
+
+
+def test_donating_frame_path_runs():
+    """process_batch_device(donate=True) must work with staged batches
+    (on CPU it falls back to the non-donating program)."""
+    from xmaps_tpu.models.depth_pipeline import XMapsDepthEngine
+    from xmaps_tpu.utils.synthetic import (
+        make_synthetic_calibration,
+        simulate_plane_events,
+    )
+
+    calib = make_synthetic_calibration()
+    engine = XMapsDepthEngine.from_calibration(
+        calib, event_capacity=8192, z_near=0.2, z_far=1.2
+    )
+    pool = HostStagingPool(engine.cfg.event_capacity, depth=2)
+    depths = []
+    for z in (0.5, 0.6, 0.7):
+        ev = simulate_plane_events(calib, depth_m=z, subsample=0.4)
+        batch = pool.stage(ev)
+        res = engine.process_batch_device(batch, donate=True)
+        d = np.asarray(res.depth)
+        depths.append(np.median(d[d > 0]))
+    assert np.all(np.diff(depths) > 0.05), depths

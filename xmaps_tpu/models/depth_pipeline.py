@@ -55,6 +55,7 @@ class XMapsDepthEngine:
     event_plan: object = None  # ops.pallas_events.EventGatherPlan when enabled
 
     _frame_fn: object = field(init=False, default=None, repr=False)
+    _frame_fn_donating: object = field(init=False, default=None, repr=False)
 
     def __post_init__(self):
         self._frame_fn = make_depth_frame_fn(
@@ -63,6 +64,7 @@ class XMapsDepthEngine:
             tail_plan=self.tail_plan,
             event_plan=self.event_plan,
         )
+        self._frame_fn_donating = None  # built on first donate=True call
 
     # -- construction --------------------------------------------------
 
@@ -225,7 +227,27 @@ class XMapsDepthEngine:
         """events: structured array with x/y/t/p (one projector frame)."""
         return self._frame_fn(self.make_batch(events), self.tables)
 
-    def process_batch_device(self, batch: EventBatch) -> FrameResult:
+    def process_batch_device(
+        self, batch: EventBatch, donate: bool = False
+    ) -> FrameResult:
+        """Run the frame program on an already-staged device batch.
+
+        ``donate=True`` hands the batch's device buffers back to XLA so
+        HBM is reused across frames (the streaming path stages a fresh
+        batch per frame via io.prefetch, so nothing aliases).  Callers
+        that reuse batches (bench, tests) must keep the default.  CPU has
+        no donation; the non-donating program is used there to avoid
+        per-call warnings.
+        """
+        if donate and jax.devices()[0].platform != "cpu":
+            if self._frame_fn_donating is None:
+                self._frame_fn_donating = make_depth_frame_fn(
+                    self.cfg,
+                    donate=True,
+                    tail_plan=self.tail_plan,
+                    event_plan=self.event_plan,
+                )
+            return self._frame_fn_donating(batch, self.tables)
         return self._frame_fn(batch, self.tables)
 
     def dump_frame_csv(self, events: np.ndarray, csv_path: str) -> int:
@@ -275,3 +297,4 @@ class XMapsDepthEngine:
             tail_plan=self.tail_plan,
             event_plan=self.event_plan,
         )
+        self._frame_fn_donating = None

@@ -225,8 +225,10 @@ def make_depth_frame_fn(
     """Build the jitted frame function with cfg (and optional Pallas tail /
     event-gather plans) baked in.
 
-    ``donate`` donates the event batch buffers so XLA reuses them across
-    frames (host->HBM staging stays double-buffered in io.prefetch).
+    ``donate`` donates the event batch buffers so XLA reuses HBM across
+    frames; pair it with io.prefetch.HostStagingPool, which stages a
+    fresh batch per frame from rotating host buffers (nothing aliases a
+    donated buffer).
     """
     fn = functools.partial(
         depth_frame,

@@ -20,6 +20,7 @@ import jax
 
 from xmaps_tpu.config import RuntimeParams
 from xmaps_tpu.io.filters import ActivityNoiseFilter
+from xmaps_tpu.io.prefetch import HostStagingPool
 from xmaps_tpu.models.depth_pipeline import XMapsDepthEngine
 from xmaps_tpu.ops.filters import FILTER_NAMES
 from xmaps_tpu.runtime.trigger_finder import RobustTriggerFinder
@@ -54,6 +55,8 @@ class DepthReprojectionPipe:
         if self.engine is None:
             with SingleTimer("Setting up calibration, maps and X-map"):
                 self.engine = XMapsDepthEngine.from_runtime_params(p)
+
+        self.staging = HostStagingPool(self.engine.cfg.event_capacity, depth=2)
 
         self.trigger_finder = RobustTriggerFinder(
             projector_fps=p.projector_fps,
@@ -90,9 +93,13 @@ class DepthReprojectionPipe:
         self._flush_pending()
 
         with self.stats_printer.measure_time("stage batch"):
-            batch = self.engine.make_batch(evs)
+            # reused pinned host buffers + async H2D (io.prefetch); the
+            # copy overlaps this frame's host-side segmentation work
+            batch = self.staging.stage(evs)
         with self.stats_printer.measure_time("dispatch frame"):
-            result = self.engine.process_batch_device(batch)
+            # freshly staged per frame, so the device buffers are donated
+            # back to XLA for reuse
+            result = self.engine.process_batch_device(batch, donate=True)
         self._pending = result
         self.stats_printer.count("frames dispatched")
 
