@@ -261,7 +261,8 @@ int64_t evt_decode(void* h, int64_t max_events, uint16_t* xs, uint16_t* ys,
             d->time_high_ovf++;
           }
           d->time_high = th;
-          d->time_low = 0;
+          // per spec, TIME_HIGH combines with the LAST received TIME_LOW;
+          // the low bits are not reset here.
           break;
         }
         default:

@@ -207,7 +207,8 @@ def decode_evt3_numpy(words: np.ndarray) -> np.ndarray:
             if time_high >= 0 and th < time_high and (time_high - th) > (1 << 11):
                 ovf += 1
             time_high = th
-            time_low = 0
+            # TIME_HIGH combines with the last received TIME_LOW (spec);
+            # low bits persist until the next TIME_LOW word
     out = np.zeros(len(out_x), dtype=EVENT_DTYPE)
     out["x"] = out_x
     out["y"] = out_y
