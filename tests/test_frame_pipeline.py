@@ -126,7 +126,7 @@ def test_full_frame_with_pallas_tail_matches_xla(rig):
 
 def test_jitted_fn_stable_across_frames(rig):
     calib, maps, x_map, cfg, tables = rig
-    fn = make_depth_frame_fn(cfg, donate=False)
+    fn = make_depth_frame_fn(cfg)
     outs = []
     for z in (0.5, 0.7):
         events = simulate_plane_events(calib, depth_m=z)

@@ -1,13 +1,11 @@
-"""Host staging pool: in-place reuse, from_structured equivalence, and the
-donating frame path."""
+"""Host staging pool: packed staging equivalence, in-place reuse, and the
+staged frame program."""
 
 import numpy as np
 import pytest
 
-import jax
-
 from xmaps_tpu.io.evt_decoder import EVENT_DTYPE
-from xmaps_tpu.io.prefetch import HostStagingPool
+from xmaps_tpu.io.prefetch import HostStagingPool, unpack_staged
 from xmaps_tpu.ops.event_batch import EventBatch
 
 
@@ -22,11 +20,15 @@ def _events(rng, n, t0=1_000_000):
 
 @pytest.mark.parametrize("sizes", [(100, 700, 300), (512, 512), (600, 0, 10)])
 def test_stage_matches_from_structured(sizes, rng):
+    """unpack_staged(stage(ev)) must equal EventBatch.from_structured."""
+    import jax
+
     cap = 512
     pool = HostStagingPool(cap, depth=2)
+    unpack = jax.jit(unpack_staged)
     for i, n in enumerate(sizes):
         ev = _events(rng, n, t0=1_000_000 * (i + 1))
-        got = pool.stage(ev)
+        got = unpack(pool.stage(ev))
         want = EventBatch.from_structured(ev, cap)
         for field in EventBatch._fields:
             np.testing.assert_array_equal(
@@ -54,15 +56,15 @@ def test_stale_slot_contents_never_leak(rng):
     pool.stage(_events(rng, 500))  # slot 0, long
     pool.stage(_events(rng, 400))  # slot 1
     short = _events(rng, 5)
-    got = pool.stage(short)  # slot 0 again, short
+    got = unpack_staged(pool.stage(short))  # slot 0 again, short
     assert int(got.count) == 5
     assert not np.asarray(got.valid)[5:].any()
     assert np.asarray(got.x)[5:].sum() == 0
 
 
-def test_donating_frame_path_runs():
-    """process_batch_device(donate=True) must work with staged batches
-    (on CPU it falls back to the non-donating program)."""
+def test_staged_frame_path_runs():
+    """engine.process_staged on pool-staged frames must match the
+    EventBatch path bit for bit."""
     from xmaps_tpu.models.depth_pipeline import XMapsDepthEngine
     from xmaps_tpu.utils.synthetic import (
         make_synthetic_calibration,
@@ -74,11 +76,14 @@ def test_donating_frame_path_runs():
         calib, event_capacity=8192, z_near=0.2, z_far=1.2
     )
     pool = HostStagingPool(engine.cfg.event_capacity, depth=2)
-    depths = []
-    for z in (0.5, 0.6, 0.7):
+    for z in (0.5, 0.7):
         ev = simulate_plane_events(calib, depth_m=z, subsample=0.4)
-        batch = pool.stage(ev)
-        res = engine.process_batch_device(batch, donate=True)
-        d = np.asarray(res.depth)
-        depths.append(np.median(d[d > 0]))
-    assert np.all(np.diff(depths) > 0.05), depths
+        got = engine.process_staged(pool.stage(ev))
+        want = engine.process_batch_device(engine.make_batch(ev))
+        np.testing.assert_array_equal(
+            np.asarray(got.frame_bgr), np.asarray(want.frame_bgr)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.depth), np.asarray(want.depth)
+        )
+        assert int(got.num_inliers) == int(want.num_inliers)

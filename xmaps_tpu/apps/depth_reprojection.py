@@ -88,13 +88,22 @@ def project_events(bias, input, params, delta_t, ev_processor):
 @click.option("--camera-width", default=640, type=int)
 @click.option("--camera-height", default=480, type=int)
 @click.option(
+    "--low-latency",
+    is_flag=True,
+    help="Flush every depth frame synchronously instead of keeping one "
+    "frame in flight: minimum display latency, lower throughput.",
+)
+@click.option(
     "--profile-dir",
     default=None,
     type=click.Path(),
     help="Capture a jax.profiler device trace of the replay into this "
     "directory (view with TensorBoard / xprof)",
 )
-def main(bias, input, loop_input, window, out_dir, profile_dir, **cli_params):
+def main(
+    bias, input, loop_input, window, out_dir, profile_dir, low_latency,
+    **cli_params,
+):
     params = RuntimeParams(**cli_params)
 
     delta_t = 1e6 / params.projector_fps / EV_PACKETS_PER_FRAME
@@ -113,7 +122,8 @@ def main(bias, input, loop_input, window, out_dir, profile_dir, **cli_params):
         trace_cm = contextlib.nullcontext()
 
     with DepthReprojectionProcessor(
-        params=params, window_kind=window, out_dir=out_dir
+        params=params, window_kind=window, out_dir=out_dir,
+        low_latency=low_latency,
     ) as ev_processor, trace_cm:
         while True:
             project_events(bias, input, params, delta_t, ev_processor)

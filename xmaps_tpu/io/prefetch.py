@@ -4,24 +4,33 @@ The reference recycles native event buffers through a free list
 (event_buf_pool.py:10-17) so the per-packet hot path never allocates.
 The TPU equivalent staged here:
 
-- ``HostStagingPool`` owns ``depth`` preallocated SoA host buffer sets
-  (x/y/t/p/valid at the pipeline's fixed capacity) and fills them in
-  place per frame -- no host allocation per frame;
-- each ``stage`` call issues one async ``jax.device_put`` of the whole
-  batch, so the host->HBM copy of frame N+1 overlaps the device compute
-  of frame N (the pipe keeps one frame in flight, runtime/pipe.py);
+- ``HostStagingPool`` owns ``depth`` preallocated packed host buffers at
+  the pipeline's fixed capacity and fills them in place per frame -- no
+  host allocation per frame;
+- events cross the host->device link as TWO words per event instead of
+  five arrays: ``xy = x | y << 16`` (uint32) and ``tp = t | p << 30``
+  (int32, frame-relative microseconds fit 24 bits).  The validity mask
+  is implied by the event count (lanes [0, n) are valid), so it is never
+  transferred.  This matters on bandwidth-constrained links (the
+  tunneled device here moves ~100 MB/s; 256 KB/frame instead of 640 KB);
+- each ``stage`` call issues one async ``jax.device_put``, so the H2D
+  copy of frame N+1 overlaps the device compute of frame N (the pipe
+  keeps one frame in flight, runtime/pipe.py);
 - the slots rotate, and a slot is only rewritten after the frame that
   consumed it has been fetched back (the pipe flushes frame N's result
   before staging frame N+2), so the async transfer is never raced.
 
-Downstream, the engine's donating frame function
-(XMapsDepthEngine.process_batch_device(donate=True)) hands these device
-buffers back to XLA every frame, so HBM is reused instead of reallocated.
+Buffer donation was evaluated and removed: the frame program's outputs
+(projector-resolution images + a scalar) share no shape/dtype with the
+event arrays, so XLA cannot alias them (it warns "donated buffers were
+not usable") -- device-side HBM reuse comes from XLA's allocator freeing
+the previous frame's buffers, which this pool's fixed-shape staging
+makes trivially recyclable.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import numpy as np
 
@@ -30,11 +39,38 @@ import jax.numpy as jnp
 
 from xmaps_tpu.ops.event_batch import EventBatch
 
-__all__ = ["HostStagingPool"]
+__all__ = ["HostStagingPool", "StagedBatch", "unpack_staged"]
+
+#: polarity rides in bit 30 of the int32 tp word; frame-relative
+#: microsecond timestamps are far below 2**30 (~17.9 min).
+_P_SHIFT = 30
+_T_MASK = (1 << _P_SHIFT) - 1
+
+
+class StagedBatch(NamedTuple):
+    """One staged frame: packed device arrays + count."""
+
+    xy: jax.Array  # (capacity,) uint32: x | y << 16
+    tp: jax.Array  # (capacity,) int32: t_rel | p << 30
+    count: jax.Array  # int32 scalar
+
+
+def unpack_staged(staged: StagedBatch) -> EventBatch:
+    """Trace-time unpack to the standard EventBatch (fuses into the
+    consumer program; nothing extra touches HBM)."""
+    n = staged.xy.shape[0]
+    xy = staged.xy.astype(jnp.int32)
+    x = xy & 0xFFFF
+    y = (xy >> 16) & 0xFFFF
+    t = staged.tp & _T_MASK
+    p = staged.tp >> _P_SHIFT
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(n)
+    valid = lane < staged.count
+    return EventBatch(x=x, y=y, t=t, p=p, valid=valid, count=staged.count)
 
 
 class HostStagingPool:
-    """Rotating preallocated host buffers for padded EventBatch staging."""
+    """Rotating preallocated host buffers for packed EventBatch staging."""
 
     def __init__(
         self,
@@ -47,11 +83,8 @@ class HostStagingPool:
         self.device = device
         self._slots = [
             {
-                "x": np.zeros(capacity, np.int32),
-                "y": np.zeros(capacity, np.int32),
-                "t": np.zeros(capacity, np.int32),
-                "p": np.zeros(capacity, np.int32),
-                "valid": np.zeros(capacity, bool),
+                "xy": np.zeros(capacity, np.uint32),
+                "tp": np.zeros(capacity, np.int32),
             }
             for _ in range(depth)
         ]
@@ -59,7 +92,7 @@ class HostStagingPool:
         self.frames_staged = 0
         self.events_truncated = 0
 
-    def stage(self, evs: np.ndarray) -> EventBatch:
+    def stage(self, evs: np.ndarray) -> StagedBatch:
         """Fill the next host slot in place and start the async H2D copy.
 
         Semantics match EventBatch.from_structured (rebased int32
@@ -73,30 +106,28 @@ class HostStagingPool:
         if len(evs) > cap:
             self.events_truncated += len(evs) - cap
 
-        for name in ("x", "y", "p"):
-            buf = slot[name]
-            buf[:n] = evs[name][:n]
-            buf[n:] = 0
+        xy = slot["xy"]
+        np.left_shift(
+            evs["y"][:n].astype(np.uint32), 16, out=xy[:n], casting="unsafe"
+        )
+        np.bitwise_or(
+            xy[:n], evs["x"][:n].astype(np.uint32), out=xy[:n]
+        )
+        xy[n:] = 0
 
-        t = slot["t"]
+        tp = slot["tp"]
         if n:
             t64 = evs["t"][:n].astype(np.int64, copy=False)
-            np.subtract(t64, t64[0], out=t[:n], casting="unsafe")
-        t[n:] = 0
-
-        valid = slot["valid"]
-        valid[:n] = True
-        valid[n:] = False
+            np.subtract(t64, t64[0], out=tp[:n], casting="unsafe")
+            np.bitwise_or(
+                tp[:n],
+                (evs["p"][:n].astype(np.int32) & 1) << _P_SHIFT,
+                out=tp[:n],
+            )
+        tp[n:] = 0
 
         self.frames_staged += 1
-        x_d, y_d, t_d, p_d, v_d = jax.device_put(
-            (slot["x"], slot["y"], t, slot["p"], valid), self.device
+        xy_d, tp_d, n_d = jax.device_put(
+            (xy, tp, np.int32(n)), self.device
         )
-        return EventBatch(
-            x=x_d,
-            y=y_d,
-            t=t_d,
-            p=p_d,
-            valid=v_d,
-            count=jnp.asarray(np.int32(n)),
-        )
+        return StagedBatch(xy=xy_d, tp=tp_d, count=n_d)

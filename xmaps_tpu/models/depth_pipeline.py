@@ -55,16 +55,35 @@ class XMapsDepthEngine:
     event_plan: object = None  # ops.pallas_events.EventGatherPlan when enabled
 
     _frame_fn: object = field(init=False, default=None, repr=False)
-    _frame_fn_donating: object = field(init=False, default=None, repr=False)
+    _staged_fn: object = field(init=False, default=None, repr=False)
 
     def __post_init__(self):
+        self._build_frame_fns()
+
+    def _build_frame_fns(self):
+        import functools
+
+        import jax
+
+        from xmaps_tpu.io.prefetch import unpack_staged
+        from xmaps_tpu.ops.frame_pipeline import depth_frame
+
         self._frame_fn = make_depth_frame_fn(
             self.cfg,
-            donate=False,
             tail_plan=self.tail_plan,
             event_plan=self.event_plan,
         )
-        self._frame_fn_donating = None  # built on first donate=True call
+
+        def staged_frame(staged, tables, cfg):
+            return depth_frame(
+                unpack_staged(staged),
+                tables,
+                cfg,
+                tail_plan=self.tail_plan,
+                event_plan=self.event_plan,
+            )
+
+        self._staged_fn = jax.jit(functools.partial(staged_frame, cfg=self.cfg))
 
     # -- construction --------------------------------------------------
 
@@ -170,6 +189,11 @@ class XMapsDepthEngine:
             params.projector_width,
             params.projector_height,
         )
+        # CLI sessions reuse the X-map across runs (checkpoint/resume
+        # analog, SURVEY.md §5); the key hashes the time map + geometry.
+        kw.setdefault(
+            "xmap_cache_dir", os.path.expanduser("~/.cache/xmaps_tpu")
+        )
         return XMapsDepthEngine.from_calibration(
             calib,
             z_near=params.z_near,
@@ -227,28 +251,14 @@ class XMapsDepthEngine:
         """events: structured array with x/y/t/p (one projector frame)."""
         return self._frame_fn(self.make_batch(events), self.tables)
 
-    def process_batch_device(
-        self, batch: EventBatch, donate: bool = False
-    ) -> FrameResult:
-        """Run the frame program on an already-staged device batch.
-
-        ``donate=True`` hands the batch's device buffers back to XLA so
-        HBM is reused across frames (the streaming path stages a fresh
-        batch per frame via io.prefetch, so nothing aliases).  Callers
-        that reuse batches (bench, tests) must keep the default.  CPU has
-        no donation; the non-donating program is used there to avoid
-        per-call warnings.
-        """
-        if donate and jax.devices()[0].platform != "cpu":
-            if self._frame_fn_donating is None:
-                self._frame_fn_donating = make_depth_frame_fn(
-                    self.cfg,
-                    donate=True,
-                    tail_plan=self.tail_plan,
-                    event_plan=self.event_plan,
-                )
-            return self._frame_fn_donating(batch, self.tables)
+    def process_batch_device(self, batch: EventBatch) -> FrameResult:
         return self._frame_fn(batch, self.tables)
+
+    def process_staged(self, staged) -> FrameResult:
+        """Run the frame program on a packed io.prefetch.StagedBatch (the
+        streaming hot path: 2 transferred words per event, validity
+        implied by the count)."""
+        return self._staged_fn(staged, self.tables)
 
     def dump_frame_csv(self, events: np.ndarray, csv_path: str) -> int:
         """Write one frame's per-event debug CSV: raw coords, rectified
@@ -291,10 +301,4 @@ class XMapsDepthEngine:
     def set_frame_filter(self, name: str):
         """Swap the frame dedup filter (recompiles once per new filter)."""
         self.cfg = self.cfg.replace(frame_filter=name)
-        self._frame_fn = make_depth_frame_fn(
-            self.cfg,
-            donate=False,
-            tail_plan=self.tail_plan,
-            event_plan=self.event_plan,
-        )
-        self._frame_fn_donating = None
+        self._build_frame_fns()

@@ -217,7 +217,6 @@ def depth_frame(
 
 def make_depth_frame_fn(
     cfg: PipelineConfig,
-    donate: bool = True,
     tail_plan=None,
     event_plan=None,
     pallas_interpret: bool = False,
@@ -225,10 +224,11 @@ def make_depth_frame_fn(
     """Build the jitted frame function with cfg (and optional Pallas tail /
     event-gather plans) baked in.
 
-    ``donate`` donates the event batch buffers so XLA reuses HBM across
-    frames; pair it with io.prefetch.HostStagingPool, which stages a
-    fresh batch per frame from rotating host buffers (nothing aliases a
-    donated buffer).
+    Batch-buffer donation was evaluated and intentionally not used: the
+    program's outputs (projector-resolution images + a scalar) share no
+    shape/dtype with the event arrays, so XLA cannot alias donated
+    buffers into outputs (it warns "donated buffers were not usable").
+    Host-side buffer reuse lives in io.prefetch.HostStagingPool instead.
     """
     fn = functools.partial(
         depth_frame,
@@ -237,4 +237,4 @@ def make_depth_frame_fn(
         event_plan=event_plan,
         pallas_interpret=pallas_interpret,
     )
-    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+    return jax.jit(fn)

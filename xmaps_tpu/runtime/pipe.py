@@ -36,6 +36,11 @@ class DepthReprojectionPipe:
 
     engine: Optional[XMapsDepthEngine] = None
 
+    #: True = flush each frame synchronously (lowest latency); False =
+    #: keep one frame in flight so device compute overlaps segmentation
+    #: (highest throughput, plus ~1 frame of display delay).
+    low_latency: bool = False
+
     trigger_finder: RobustTriggerFinder = field(init=False)
     watchdog: TimingWatchdog = field(init=False)
     act_filter: ActivityNoiseFilter = field(init=False)
@@ -93,15 +98,15 @@ class DepthReprojectionPipe:
         self._flush_pending()
 
         with self.stats_printer.measure_time("stage batch"):
-            # reused pinned host buffers + async H2D (io.prefetch); the
-            # copy overlaps this frame's host-side segmentation work
+            # reused host buffers, 2 packed words/event, async H2D
+            # (io.prefetch); the copy overlaps host-side segmentation
             batch = self.staging.stage(evs)
         with self.stats_printer.measure_time("dispatch frame"):
-            # freshly staged per frame, so the device buffers are donated
-            # back to XLA for reuse
-            result = self.engine.process_batch_device(batch, donate=True)
+            result = self.engine.process_staged(batch)
         self._pending = result
         self.stats_printer.count("frames dispatched")
+        if self.low_latency:
+            self._flush_pending()
 
     def _flush_pending(self):
         if self._pending is None:

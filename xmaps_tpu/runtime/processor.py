@@ -99,6 +99,7 @@ class DepthReprojectionProcessor:
     params: RuntimeParams
     window_kind: str = "none"
     out_dir: str = "frames_out"
+    low_latency: bool = False
 
     stats_printer: StatsPrinter = field(default_factory=StatsPrinter)
     _pipe: DepthReprojectionPipe = field(init=False, default=None)
@@ -116,6 +117,7 @@ class DepthReprojectionProcessor:
             params=self.params,
             stats_printer=self.stats_printer,
             frame_callback=self.show_async,
+            low_latency=self.low_latency,
         )
         self._window = make_window(self.window_kind, self.params, self.out_dir)
         self._window.set_keyboard_callback(self.keyboard_cb)
