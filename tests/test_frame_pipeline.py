@@ -135,3 +135,34 @@ def test_jitted_fn_stable_across_frames(rig):
     d0 = np.asarray(outs[0].depth)
     d1 = np.asarray(outs[1].depth)
     assert np.median(d0[d0 > 0]) < np.median(d1[d1 > 0])
+
+
+def test_camera_view_with_pallas_colorize_matches_xla(rig):
+    """The fused camera-view tail (pallas_colorize, interpret mode) must
+    be bit-exact with the XLA camera path end to end."""
+    from xmaps_tpu.ops.pallas_tail import build_cam_tail_plan
+
+    calib, maps, x_map, cfg, tables = rig
+    cfg_cam = cfg.replace(camera_perspective=True)
+    plan = build_cam_tail_plan(
+        calib.camera_height,
+        calib.camera_width,
+        p03=float(maps.P2[0, 3]),
+        z_near=cfg.z_near,
+        z_far=cfg.z_far,
+    )
+    events = simulate_plane_events(calib, depth_m=0.55, jitter_us=3.0)
+    batch = EventBatch.from_structured(events, cfg.event_capacity)
+    ref = depth_frame(batch, tables, cfg_cam)
+    out = depth_frame(
+        batch, tables, cfg_cam, tail_plan=plan, pallas_interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.disp_map), np.asarray(ref.disp_map)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.depth), np.asarray(ref.depth), rtol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.frame_bgr), np.asarray(ref.frame_bgr)
+    )

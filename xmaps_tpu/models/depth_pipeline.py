@@ -140,7 +140,17 @@ class XMapsDepthEngine:
         if use_pallas_tail is None:
             use_pallas_tail = on_accel
         tail_plan = None
-        if use_pallas_tail and not camera_perspective:
+        if use_pallas_tail and camera_perspective:
+            from xmaps_tpu.ops.pallas_tail import build_cam_tail_plan
+
+            tail_plan = build_cam_tail_plan(
+                calib.camera_height,
+                calib.camera_width,
+                p03=float(maps.P2[0, 3]),
+                z_near=z_near,
+                z_far=z_far,
+            )
+        elif use_pallas_tail:
             from xmaps_tpu.ops.pallas_tail import build_tail_plan
 
             tail_plan = build_tail_plan(

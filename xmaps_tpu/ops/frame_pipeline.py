@@ -144,6 +144,35 @@ def depth_frame(
     scatter_method = "sorted" if use_pallas_events else "max"
 
     if cfg.camera_perspective:
+        if tail_plan is not None:
+            # fused camera-view tail (ops.pallas_tail.CamTailPlan):
+            # scatter packed at padded camera dims, unpack + depth +
+            # normalize + colorize in one kernel pass
+            from xmaps_tpu.ops.pallas_tail import pallas_colorize
+
+            packed_map = scatter_disp_packed(
+                ev_y,
+                ev_x,
+                res.disp,
+                res.inlier,
+                height=cfg.camera_height,
+                width=cfg.camera_width,
+                priority=priority,
+                pad_shape=(tail_plan.H_pad, tail_plan.W_pad),
+                method=scatter_method,
+            )
+            frame, depth, disp_map = pallas_colorize(
+                packed_map,
+                tail_plan,
+                interpret=pallas_interpret,
+                pack=PACK,
+            )
+            return FrameResult(
+                frame_bgr=frame,
+                depth=depth,
+                disp_map=disp_map,
+                num_inliers=jnp.sum(res.inlier).astype(jnp.int32),
+            )
         disp_map = unpack_disp(
             scatter_disp_packed(
                 ev_y,
