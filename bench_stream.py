@@ -30,6 +30,11 @@ import numpy as np
 def main():
     import jax
 
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/xmaps_tpu/jax_cache"),
+    )
+
     from xmaps_tpu.calib.maps import CalibrationParams
     from xmaps_tpu.io.evt_encode import encode_evt3
     from xmaps_tpu.io.event_iterator import FileEventsIterator
@@ -60,6 +65,9 @@ def main():
     with open(raw_path, "wb") as f:
         f.write(encode_evt3(evs, 640, 480))
 
+    # absorb the first-contact tunnel stall (see bench.py) before timing
+    jax.block_until_ready(jax.device_put(np.zeros(8, np.float32)) + 1)
+
     t0 = time.perf_counter()
     engine = XMapsDepthEngine.from_calibration(
         calib,
@@ -70,7 +78,9 @@ def main():
     )
     setup_s = time.perf_counter() - t0
 
-    pool = HostStagingPool(engine.cfg.event_capacity, depth=2)
+    pool = HostStagingPool(
+        engine.cfg.event_capacity, depth=2, layout=engine.compact_layout
+    )
     act_filter = ActivityNoiseFilter(
         640, 480, window_us=int(1e6 / fps), keep_polarity=1
     )
@@ -80,7 +90,9 @@ def main():
 
     def on_frame(frame_evs):
         t0 = time.perf_counter()
-        batch = pool.stage(frame_evs)
+        # 1 uint32/event compact staging (host-binned time) -- the
+        # unfiltered streaming path, io/prefetch.py
+        batch = pool.stage_compact(frame_evs)
         res = engine.process_staged(batch)
         # 4-byte completion probe: the depth frame is computed and
         # resident on device once this returns

@@ -62,6 +62,87 @@ def test_stale_slot_contents_never_leak(rng):
     assert np.asarray(got.x)[5:].sum() == 0
 
 
+def test_host_time_binning_matches_device_exactly(rng):
+    """_scale_time_int_host must reproduce the device integer
+    round-half-to-even bit for bit, including exact .5 ties."""
+    import jax.numpy as jnp
+
+    from xmaps_tpu.io.prefetch import _scale_time_int_host
+    from xmaps_tpu.ops.disparity import _scale_time_int
+
+    scale = 719
+    # random frames + a constructed tie: rng divides 2*scale so some
+    # (t - min) * scale land exactly on half-bins
+    frames = [
+        np.sort(rng.integers(0, 16_700, 4096)).astype(np.int64),
+        np.arange(0, 2 * scale + 1, 1, dtype=np.int64),  # rng = 2*scale
+    ]
+    for t in frames:
+        host = _scale_time_int_host(t, scale)
+        dev = np.asarray(
+            _scale_time_int(
+                jnp.asarray(t - t.min(), jnp.int32),
+                jnp.int32(0),
+                jnp.int32(t.max() - t.min()),
+                scale,
+            )
+        )
+        np.testing.assert_array_equal(host, dev)
+
+
+def test_compact_stage_matches_two_word_path():
+    """The 1-word compact staging must produce bit-identical frames to
+    the 2-word staging and the EventBatch path (frame_filter none)."""
+    from xmaps_tpu.io.prefetch import CompactLayout
+    from xmaps_tpu.models.depth_pipeline import XMapsDepthEngine
+    from xmaps_tpu.utils.synthetic import (
+        make_synthetic_calibration,
+        simulate_plane_events,
+    )
+
+    calib = make_synthetic_calibration()
+    engine = XMapsDepthEngine.from_calibration(
+        calib, event_capacity=8192, z_near=0.2, z_far=1.2
+    )
+    assert engine.compact_layout is not None
+    lay = engine.compact_layout
+    assert lay.bits_x + lay.bits_y + lay.bits_t <= 32
+    pool = HostStagingPool(
+        engine.cfg.event_capacity, depth=2, layout=engine.compact_layout
+    )
+    for z in (0.5, 0.7):
+        ev = simulate_plane_events(calib, depth_m=z, subsample=0.4)
+        got = engine.process_staged(pool.stage_compact(ev))
+        via2 = engine.process_staged(pool.stage(ev))
+        want = engine.process_batch_device(engine.make_batch(ev))
+        for ref in (via2, want):
+            np.testing.assert_array_equal(
+                np.asarray(got.frame_bgr), np.asarray(ref.frame_bgr)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got.depth), np.asarray(ref.depth)
+            )
+            assert int(got.num_inliers) == int(ref.num_inliers)
+
+
+def test_compact_layout_rejects_oversize_dims():
+    from xmaps_tpu.config import PipelineConfig
+    from xmaps_tpu.io.prefetch import CompactLayout
+
+    cfg = PipelineConfig(
+        camera_width=4096,
+        camera_height=4096,
+        projector_width=4096,
+        projector_height=4096,
+        rect_width=64,
+        rect_height=64,
+        event_capacity=256,
+        z_near=0.1,
+        z_far=1.0,
+    )
+    assert CompactLayout.for_pipeline(cfg) is None
+
+
 def test_staged_frame_path_runs():
     """engine.process_staged on pool-staged frames must match the
     EventBatch path bit for bit."""

@@ -39,7 +39,14 @@ import jax.numpy as jnp
 
 from xmaps_tpu.ops.event_batch import EventBatch
 
-__all__ = ["HostStagingPool", "StagedBatch", "unpack_staged"]
+__all__ = [
+    "HostStagingPool",
+    "StagedBatch",
+    "unpack_staged",
+    "CompactLayout",
+    "CompactStagedBatch",
+    "unpack_staged_compact",
+]
 
 #: polarity rides in bit 30 of the int32 tp word; frame-relative
 #: microsecond timestamps are far below 2**30 (~17.9 min).
@@ -69,6 +76,89 @@ def unpack_staged(staged: StagedBatch) -> EventBatch:
     return EventBatch(x=x, y=y, t=t, p=p, valid=valid, count=staged.count)
 
 
+class CompactLayout(NamedTuple):
+    """Bit layout for ONE-word-per-event staging.
+
+    The X-map lookup only ever sees the event's time as a discretized
+    bin in [0, t_px_scale] (time axis = projector columns,
+    ops/disparity.py), so the host can compute the bin exactly -- the
+    same integer round-half-to-even as the device -- and ship
+    ``t_scaled`` instead of a raw timestamp.  With the coordinates that
+    fits one uint32 per event (word = x | y << bits_x | t_scaled <<
+    (bits_x + bits_y)), halving host->device bytes vs the 2-word
+    staging.  Polarity is not carried: the host polarity filter runs
+    before staging, and nothing on device reads p (the frame dedup
+    filters, the only consumers, force the 2-word path -- they must
+    re-bin time after dropping events).
+    """
+
+    bits_x: int
+    bits_y: int
+    bits_t: int
+    t_px_scale: int
+
+    @staticmethod
+    def for_pipeline(cfg) -> Optional["CompactLayout"]:
+        """Layout for a PipelineConfig, or None if 32 bits don't fit
+        (very large sensor / time axis) -- callers fall back to 2-word
+        staging."""
+        bits_x = max(int(cfg.camera_width - 1).bit_length(), 1)
+        bits_y = max(int(cfg.camera_height - 1).bit_length(), 1)
+        bits_t = max(int(cfg.t_px_scale).bit_length(), 1)
+        if bits_x + bits_y + bits_t > 32:
+            return None
+        return CompactLayout(bits_x, bits_y, bits_t, int(cfg.t_px_scale))
+
+
+class CompactStagedBatch(NamedTuple):
+    """One staged frame at one uint32 word per event."""
+
+    word: jax.Array  # (capacity,) uint32: x | y << bits_x | ts << (bx+by)
+    count: jax.Array  # int32 scalar
+
+
+def unpack_staged_compact(
+    staged: CompactStagedBatch, layout: CompactLayout
+) -> tuple[EventBatch, jax.Array]:
+    """Trace-time unpack to (EventBatch, t_scaled).
+
+    The returned batch carries p=1 (host polarity filter ran before
+    staging) and t = t_scaled (only the bins exist at this point); pass
+    t_scaled explicitly to the frame program so it skips re-binning.
+    """
+    n = staged.word.shape[0]
+    w = staged.word.astype(jnp.int32)
+    x = w & ((1 << layout.bits_x) - 1)
+    y = (w >> layout.bits_x) & ((1 << layout.bits_y) - 1)
+    ts = (w >> (layout.bits_x + layout.bits_y)) & ((1 << layout.bits_t) - 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(n)
+    valid = lane < staged.count
+    batch = EventBatch(
+        x=x,
+        y=y,
+        t=ts,
+        p=jnp.ones_like(x),
+        valid=valid,
+        count=staged.count,
+    )
+    return batch, ts
+
+
+def _scale_time_int_host(t: np.ndarray, t_px_scale: int) -> np.ndarray:
+    """Host mirror of ops.disparity._scale_time_int (exact integer
+    round-half-to-even of (t - min) * scale / (max - min)), in int64."""
+    t = np.asarray(t, dtype=np.int64)
+    if len(t) == 0:
+        return t.astype(np.int32)
+    t_min = t.min()
+    rng = max(int(t.max()) - int(t_min), 1)
+    num = (t - t_min) * np.int64(t_px_scale)
+    q, r = np.divmod(num, rng)
+    twice = 2 * r
+    round_up = (twice > rng) | ((twice == rng) & (q % 2 == 1))
+    return (q + round_up).astype(np.int32)
+
+
 class HostStagingPool:
     """Rotating preallocated host buffers for packed EventBatch staging."""
 
@@ -77,14 +167,17 @@ class HostStagingPool:
         capacity: int,
         depth: int = 2,
         device: Optional[jax.Device] = None,
+        layout: Optional[CompactLayout] = None,
     ):
         assert depth >= 2, "need >= 2 slots to overlap H2D with compute"
         self.capacity = capacity
         self.device = device
+        self.layout = layout
         self._slots = [
             {
                 "xy": np.zeros(capacity, np.uint32),
                 "tp": np.zeros(capacity, np.int32),
+                "word": np.zeros(capacity, np.uint32),
             }
             for _ in range(depth)
         ]
@@ -131,3 +224,42 @@ class HostStagingPool:
             (xy, tp, np.int32(n)), self.device
         )
         return StagedBatch(xy=xy_d, tp=tp_d, count=n_d)
+
+    def stage_compact(self, evs: np.ndarray) -> CompactStagedBatch:
+        """Fill the next host slot at ONE uint32 word per event and start
+        the async H2D copy.  Requires a CompactLayout (pool init) and a
+        complete frame slice (time bins need the frame's min/max t).
+        Bit-identical downstream results to :meth:`stage` for
+        frame_filter == "none" pipelines."""
+        lay = self.layout
+        assert lay is not None, "HostStagingPool built without a layout"
+        slot = self._slots[self._next]
+        self._next = (self._next + 1) % len(self._slots)
+
+        cap = self.capacity
+        n = min(len(evs), cap)
+        if len(evs) > cap:
+            self.events_truncated += len(evs) - cap
+
+        word = slot["word"]
+        if n:
+            ts = _scale_time_int_host(evs["t"][:n], lay.t_px_scale)
+            np.left_shift(
+                ts.astype(np.uint32),
+                lay.bits_x + lay.bits_y,
+                out=word[:n],
+                casting="unsafe",
+            )
+            np.bitwise_or(
+                word[:n],
+                evs["y"][:n].astype(np.uint32) << lay.bits_x,
+                out=word[:n],
+            )
+            np.bitwise_or(
+                word[:n], evs["x"][:n].astype(np.uint32), out=word[:n]
+            )
+        word[n:] = 0
+
+        self.frames_staged += 1
+        w_d, n_d = jax.device_put((word, np.int32(n)), self.device)
+        return CompactStagedBatch(word=w_d, count=n_d)

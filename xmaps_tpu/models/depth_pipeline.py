@@ -56,6 +56,9 @@ class XMapsDepthEngine:
 
     _frame_fn: object = field(init=False, default=None, repr=False)
     _staged_fn: object = field(init=False, default=None, repr=False)
+    _staged_compact_fn: object = field(init=False, default=None, repr=False)
+    #: io.prefetch.CompactLayout when 1-word staging is available
+    compact_layout: object = field(init=False, default=None, repr=False)
 
     def __post_init__(self):
         self._build_frame_fns()
@@ -65,7 +68,11 @@ class XMapsDepthEngine:
 
         import jax
 
-        from xmaps_tpu.io.prefetch import unpack_staged
+        from xmaps_tpu.io.prefetch import (
+            CompactLayout,
+            unpack_staged,
+            unpack_staged_compact,
+        )
         from xmaps_tpu.ops.frame_pipeline import depth_frame
 
         self._frame_fn = make_depth_frame_fn(
@@ -84,6 +91,30 @@ class XMapsDepthEngine:
             )
 
         self._staged_fn = jax.jit(functools.partial(staged_frame, cfg=self.cfg))
+
+        # 1-word-per-event staging layout (pure geometry; None if the
+        # dims don't fit 32 bits).  The jitted consumer exists only for
+        # unfiltered pipelines: the dedup filters re-bin time after
+        # dropping events, so they need raw timestamps (2-word staging).
+        self.compact_layout = CompactLayout.for_pipeline(self.cfg)
+        self._staged_compact_fn = None
+        if self.compact_layout is not None and self.cfg.frame_filter == "none":
+            layout = self.compact_layout
+
+            def staged_compact_frame(staged, tables, cfg):
+                batch, ts = unpack_staged_compact(staged, layout)
+                return depth_frame(
+                    batch,
+                    tables,
+                    cfg,
+                    tail_plan=self.tail_plan,
+                    event_plan=self.event_plan,
+                    t_scaled=ts,
+                )
+
+            self._staged_compact_fn = jax.jit(
+                functools.partial(staged_compact_frame, cfg=self.cfg)
+            )
 
     # -- construction --------------------------------------------------
 
@@ -265,9 +296,19 @@ class XMapsDepthEngine:
         return self._frame_fn(batch, self.tables)
 
     def process_staged(self, staged) -> FrameResult:
-        """Run the frame program on a packed io.prefetch.StagedBatch (the
-        streaming hot path: 2 transferred words per event, validity
-        implied by the count)."""
+        """Run the frame program on a packed io.prefetch batch (the
+        streaming hot path; validity implied by the count).  Accepts a
+        StagedBatch (2 words/event) or, when the pipeline is unfiltered,
+        a CompactStagedBatch (1 word/event with host-binned time)."""
+        from xmaps_tpu.io.prefetch import CompactStagedBatch
+
+        if isinstance(staged, CompactStagedBatch):
+            if self._staged_compact_fn is None:
+                raise ValueError(
+                    "compact staging requires frame_filter == 'none' and "
+                    "a 32-bit-fit CompactLayout"
+                )
+            return self._staged_compact_fn(staged, self.tables)
         return self._staged_fn(staged, self.tables)
 
     def dump_frame_csv(self, events: np.ndarray, csv_path: str) -> int:

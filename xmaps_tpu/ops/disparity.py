@@ -138,6 +138,7 @@ def compute_event_disparity_pallas(
     plan,
     *,
     t_px_scale: int,
+    t_scaled: jax.Array | None = None,
     interpret: bool = False,
 ):
     """Per-event disparity stage through the fused Pallas gather kernel.
@@ -154,8 +155,9 @@ def compute_event_disparity_pallas(
     """
     from xmaps_tpu.ops.pallas_events import rectify_and_lookup
 
-    t_min, t_max = time_bounds(batch.t, batch.valid)
-    t_scaled = _scale_time_int(batch.t, t_min, t_max, t_px_scale)
+    if t_scaled is None:
+        t_min, t_max = time_bounds(batch.t, batch.valid)
+        t_scaled = _scale_time_int(batch.t, t_min, t_max, t_px_scale)
 
     n = batch.x.shape[0]
     prio0 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(n)
@@ -188,6 +190,7 @@ def compute_event_disparity(
     t_px_scale: int,
     t_bounds: tuple[jax.Array, jax.Array] | None = None,
     rect_coords: tuple[jax.Array, jax.Array] | None = None,
+    t_scaled: jax.Array | None = None,
 ) -> DisparityResult:
     """Full per-event disparity stage (reference: x_maps_disparity.py:9-32).
 
@@ -203,13 +206,14 @@ def compute_event_disparity(
     else:
         xr, yr = rectify_events(batch.x, batch.y, mapx_i16, mapy_i16)
 
-    if t_bounds is None:
-        t_bounds = time_bounds(batch.t, batch.valid)
-    t_min, t_max = t_bounds
-    if jnp.issubdtype(batch.t.dtype, jnp.integer):
-        t_scaled = _scale_time_int(batch.t, t_min, t_max, t_px_scale)
-    else:
-        t_scaled = _scale_time_float(batch.t, t_min, t_max, t_px_scale)
+    if t_scaled is None:
+        if t_bounds is None:
+            t_bounds = time_bounds(batch.t, batch.valid)
+        t_min, t_max = t_bounds
+        if jnp.issubdtype(batch.t.dtype, jnp.integer):
+            t_scaled = _scale_time_int(batch.t, t_min, t_max, t_px_scale)
+        else:
+            t_scaled = _scale_time_float(batch.t, t_min, t_max, t_px_scale)
 
     H_xmap, W_time = x_map.shape
     y_in = (yr >= 0) & (yr < H_xmap - 1) & batch.valid

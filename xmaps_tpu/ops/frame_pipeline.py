@@ -78,6 +78,7 @@ def depth_frame(
     tail_plan=None,
     event_plan=None,
     pallas_interpret: bool = False,
+    t_scaled=None,
 ) -> FrameResult:
     """One projector frame of events -> colorized depth map.
 
@@ -90,6 +91,11 @@ def depth_frame(
     the per-event gathers run as the fused banded Pallas kernel over
     device-sorted events (bit-identical results; requires integer
     timestamps and no frame filter -- silently falls back otherwise).
+    ``t_scaled`` (int32 X-map time bins, precomputed exactly on the host
+    by io.prefetch compact staging) skips the on-device time
+    normalization; only valid with ``frame_filter == "none"`` (filters
+    change the frame's time bounds, so bins must be computed after
+    filtering).
     """
     from xmaps_tpu.ops.disparity import (
         compute_event_disparity_pallas,
@@ -97,6 +103,12 @@ def depth_frame(
     )
     from xmaps_tpu.ops.filters import apply_frame_filter
     from xmaps_tpu.ops.scatter import scatter_disp_packed, unpack_disp
+
+    if t_scaled is not None and cfg.frame_filter != "none":
+        raise ValueError(
+            "precomputed t_scaled requires frame_filter == 'none' "
+            "(filters change the frame's time bounds)"
+        )
 
     use_pallas_events = (
         event_plan is not None
@@ -109,6 +121,7 @@ def depth_frame(
             batch,
             event_plan,
             t_px_scale=cfg.t_px_scale,
+            t_scaled=t_scaled,
             interpret=pallas_interpret,
         )
     else:
@@ -135,6 +148,7 @@ def depth_frame(
             tables.x_map,
             t_px_scale=cfg.t_px_scale,
             rect_coords=(xr, yr),
+            t_scaled=t_scaled,
         )
 
     from xmaps_tpu.ops.scatter import PACK

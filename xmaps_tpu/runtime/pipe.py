@@ -61,7 +61,11 @@ class DepthReprojectionPipe:
             with SingleTimer("Setting up calibration, maps and X-map"):
                 self.engine = XMapsDepthEngine.from_runtime_params(p)
 
-        self.staging = HostStagingPool(self.engine.cfg.event_capacity, depth=2)
+        self.staging = HostStagingPool(
+            self.engine.cfg.event_capacity,
+            depth=2,
+            layout=self.engine.compact_layout,
+        )
 
         self.trigger_finder = RobustTriggerFinder(
             projector_fps=p.projector_fps,
@@ -98,9 +102,17 @@ class DepthReprojectionPipe:
         self._flush_pending()
 
         with self.stats_printer.measure_time("stage batch"):
-            # reused host buffers, 2 packed words/event, async H2D
-            # (io.prefetch); the copy overlaps host-side segmentation
-            batch = self.staging.stage(evs)
+            # reused host buffers, packed words, async H2D (io.prefetch);
+            # the copy overlaps host-side segmentation.  Unfiltered
+            # pipelines ship ONE word/event (host-binned time); dedup
+            # filters need raw timestamps, so they use the 2-word form.
+            if (
+                self.engine.compact_layout is not None
+                and self.engine.cfg.frame_filter == "none"
+            ):
+                batch = self.staging.stage_compact(evs)
+            else:
+                batch = self.staging.stage(evs)
         with self.stats_printer.measure_time("dispatch frame"):
             result = self.engine.process_staged(batch)
         self._pending = result
