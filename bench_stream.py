@@ -88,10 +88,10 @@ def main():
     lat_s: list[float] = []
     results = []
 
-    def on_frame(frame_evs):
+    def on_frame_compact(frame_evs):
         t0 = time.perf_counter()
         # 1 uint32/event compact staging (host-binned time) -- the
-        # unfiltered streaming path, io/prefetch.py
+        # segmented-staging fallback path, io/prefetch.py
         batch = pool.stage_compact(frame_evs)
         res = engine.process_staged(batch)
         # 4-byte completion probe: the depth frame is computed and
@@ -101,21 +101,77 @@ def main():
         results.append((n_inl, res))
         del results[:-1]
 
-    def replay():
-        tf = RobustTriggerFinder(
-            projector_fps=fps,
-            stats=StatsPrinter(silent=True),
-            frame_callback=on_frame,
-        )
-        act_filter.reset()
-        for pkt in FileEventsIterator(raw_path, delta_t=1e6 / fps / 4):
-            if len(pkt):
-                tf.process_events(act_filter.process(pkt))
+    def replay(mode):
+        """mode 'ring' = packet pre-staging (the production streaming
+        path: event data crosses the link during frame accumulation, so
+        dispatch ships only a (3, K) placement array); 'compact' =
+        segmented staging after the trigger."""
+        from xmaps_tpu.io.prefetch import PacketRing
 
-    replay()  # warmup (compiles)
+        if mode == "ring":
+            ring = PacketRing(
+                packet_capacity=engine.cfg.event_capacity // 2
+            )
+
+            def on_frame_ring(frame_evs, gs):
+                t0 = time.perf_counter()
+                out = ring.frame_meta(
+                    gs, gs + len(frame_evs), int(frame_evs["t"][0])
+                )
+                assert out is not None, "ring overrun in bench"
+                pkts, meta = out
+                res = engine.process_ring(pkts, meta)
+                n_inl = int(res.num_inliers)
+                lat_s.append(time.perf_counter() - t0)
+                results.append((n_inl, res))
+                del results[:-1]
+                ring.retire_below(tf.buffer_global_base)
+
+            tf = RobustTriggerFinder(
+                projector_fps=fps,
+                stats=StatsPrinter(silent=True),
+                frame_callback=lambda evs: None,
+                frame_callback_indexed=on_frame_ring,
+            )
+        else:
+            ring = None
+            tf = RobustTriggerFinder(
+                projector_fps=fps,
+                stats=StatsPrinter(silent=True),
+                frame_callback=on_frame_compact,
+            )
+        act_filter.reset()
+        # Real-time pacing: packets are delivered at the projector's
+        # rate, as a live camera would.  Unpaced (faster-than-real-time)
+        # replay back-pressures the host->device link with future
+        # frames' transfers and measures queueing, not latency.
+        wall0 = time.perf_counter()
+        t_ev0 = None
+        for pkt in FileEventsIterator(raw_path, delta_t=1e6 / fps / 4):
+            if not len(pkt):
+                continue
+            if t_ev0 is None:
+                t_ev0 = int(pkt["t"][0])
+            due = (int(pkt["t"][-1]) - t_ev0) / 1e6
+            lag = due - (time.perf_counter() - wall0)
+            if lag > 0:
+                time.sleep(lag)
+            pkt = act_filter.process(pkt)
+            if ring is not None and len(pkt):
+                ring.stage_packets(pkt)
+            tf.process_events(pkt)
+
+    replay("ring")  # warmup (compiles)
     assert results and results[-1][0] > 1000, "pipeline produced no inliers"
     lat_s.clear()
-    replay()
+    replay("ring")
+    lat_ring = list(lat_s)
+
+    replay("compact")  # warmup (compiles the segmented program)
+    lat_s.clear()
+    replay("compact")
+    lat_compact = list(lat_s)
+    lat_s = lat_ring
 
     # Tunnel round-trip baseline a PCIe-attached host would not pay:
     # dispatch + 4-byte fetch of a trivial program.
@@ -152,6 +208,9 @@ def main():
         "extra": {
             "p95_ms": round(p95, 3),
             "p50_ms_rtt_adjusted": round(p50 - rtt_p50_ms, 3),
+            "p50_segmented_staging_ms": round(
+                float(np.percentile(np.asarray(lat_compact) * 1e3, 50)), 3
+            ),
             "tunnel_rtt_p50_ms": round(rtt_p50_ms, 3),
             "display_fetch_tunnel_ms": round(display_fetch_ms, 3),
             "frames_measured": len(lat),

@@ -168,3 +168,85 @@ def test_staged_frame_path_runs():
             np.asarray(got.depth), np.asarray(want.depth)
         )
         assert int(got.num_inliers) == int(want.num_inliers)
+
+
+def _ring_events(rng, n, t0=5_000_000):
+    ev = np.zeros(n, dtype=EVENT_DTYPE)
+    ev["x"] = rng.integers(0, 640, n)
+    ev["y"] = rng.integers(0, 480, n)
+    ev["p"] = rng.integers(0, 2, n)
+    ev["t"] = t0 + np.sort(rng.integers(0, 50_000, n))
+    return ev
+
+
+def test_ring_assembly_bit_identical(rng):
+    """A frame assembled on device from pre-staged packet slots must equal
+    EventBatch.from_structured of the segmented slice, bit for bit --
+    including packet splitting, mid-packet frame boundaries and padding."""
+    import jax
+
+    from xmaps_tpu.io.prefetch import (
+        RING_SLOTS_PER_FRAME as K,
+        PacketRing,
+        assemble_ring_frame,
+    )
+
+    ev = _ring_events(rng, 5000)
+    ring = PacketRing(packet_capacity=800, n_slots=16)
+    offs = [0, 700, 1500, 2100, 3000, 3900, 4400, 5000]
+    for a, b in zip(offs[:-1], offs[1:]):
+        assert ring.stage_packets(ev[a:b])
+
+    cap = 4096
+    fn = jax.jit(lambda a, b, m: assemble_ring_frame(a, b, m, cap))
+    # note: the 900-event arrival packets split into 800+100, so the
+    # global range must touch at most RING_SLOTS_PER_FRAME=8 packets
+    for gs, ge in [(950, 4200), (0, 700), (702, 800), (100, 4390)]:
+        frame = ev[gs:ge]
+        out = ring.frame_meta(gs, ge, int(frame["t"][0]))
+        assert out is not None, (gs, ge)
+        pkts, meta = out
+        pad = pkts[0]
+        xys = tuple((pkts[i] if i < len(pkts) else pad).xy for i in range(K))
+        tps = tuple((pkts[i] if i < len(pkts) else pad).tp for i in range(K))
+        got = fn(xys, tps, meta)
+        want = EventBatch.from_structured(frame, cap)
+        for f in EventBatch._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, f)),
+                np.asarray(getattr(want, f)),
+                err_msg=f"{f} differs for frame [{gs}, {ge})",
+            )
+
+
+def test_ring_overrun_and_retire(rng):
+    from xmaps_tpu.io.prefetch import PacketRing
+
+    ring = PacketRing(packet_capacity=64, n_slots=16)
+    ev = _ring_events(rng, 64 * 16)
+    assert ring.stage_packets(ev)  # fills all 16 slots
+    extra = _ring_events(rng, 10)
+    assert not ring.stage_packets(extra)  # overrun, numbering still advances
+    assert ring.overruns == 1
+    # the unstaged range is reported as a hole
+    assert ring.frame_meta(64 * 16, 64 * 16 + 10, 0) is None
+    # numbering stays aligned: the next staged packet lands after the hole
+    ring.retire_below(64 * 4)
+    assert len(ring._free) == 4
+    more = _ring_events(rng, 30)
+    assert ring.stage_packets(more)
+    pkts, meta = ring.frame_meta(
+        64 * 16 + 10, 64 * 16 + 40, int(more["t"][0])
+    )
+    assert pkts[0].gbase == 64 * 16 + 10 and pkts[0].count == 30
+
+
+def test_ring_frame_meta_rejects_too_many_packets(rng):
+    from xmaps_tpu.io.prefetch import PacketRing
+
+    ring = PacketRing(packet_capacity=16, n_slots=32)
+    ev = _ring_events(rng, 16 * 9)
+    assert ring.stage_packets(ev)  # 9 packets > RING_SLOTS_PER_FRAME
+    assert ring.frame_meta(0, 16 * 9, int(ev["t"][0])) is None
+    # but an 8-packet window works
+    assert ring.frame_meta(0, 16 * 8, int(ev["t"][0])) is not None

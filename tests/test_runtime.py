@@ -58,7 +58,7 @@ def test_trigger_finder_segments_frames(raw_file, calib):
         assert len(f) > 1000
 
 
-def _make_processor(calib):
+def _make_processor(calib, prestage=True):
     """Headless processor with a prebuilt engine (the test calibration has
     no YAML file); returns (proc, shown_frames)."""
     engine = XMapsDepthEngine.from_calibration(
@@ -84,6 +84,7 @@ def _make_processor(calib):
         stats_printer=proc.stats_printer,
         frame_callback=lambda img: shown.append(img),
         engine=engine,
+        prestage=prestage,
     )
     from xmaps_tpu.runtime.processor import FakeWindow
 
@@ -160,3 +161,53 @@ def test_processor_reset_supports_loop_replay(raw_file, calib):
     assert first_pass >= 1
     assert len(shown) == 2 * first_pass
     np.testing.assert_array_equal(shown[0], shown[first_pass])
+
+
+def test_trigger_finder_reports_global_indices(raw_file):
+    """The indexed callback's global start must address the exact slice of
+    the cumulative post-filter stream, across push-backs, discards and the
+    tail-keep path."""
+    path, depths, events = raw_file
+    stream_parts, frames = [], []
+    tf = RobustTriggerFinder(
+        projector_fps=FPS,
+        stats=StatsPrinter(silent=True),
+        frame_callback=lambda evs: None,
+        frame_callback_indexed=lambda evs, gs: frames.append(
+            (gs, evs.copy())
+        ),
+    )
+    for packet in FileEventsIterator(path, delta_t=1e6 / FPS / 4):
+        stream_parts.append(packet.copy())
+        tf.process_events(packet)
+
+    stream = np.concatenate(stream_parts)
+    assert len(frames) >= len(depths) - 2
+    for gs, f in frames:
+        np.testing.assert_array_equal(stream[gs : gs + len(f)], f)
+
+
+def test_ring_prestage_matches_segmented(raw_file, calib):
+    """Packet-ring pre-staged frames must be identical to segmented-staging
+    frames, and the ring path must actually be used (no fallbacks)."""
+    path, depths, events = raw_file
+
+    def run(prestage):
+        proc, shown = _make_processor(calib, prestage=prestage)
+        for packet in FileEventsIterator(path, delta_t=1e6 / FPS / 4):
+            proc.process_events(packet)
+        proc._pipe.flush()
+        return proc, shown
+
+    proc_ring, shown_ring = run(True)
+    proc_seg, shown_seg = run(False)
+
+    assert proc_ring._pipe.ring is not None
+    assert proc_ring._pipe.ring.packets_staged > 0
+    assert proc_ring._pipe.ring.overruns == 0
+    counters = proc_ring.stats_printer._global.counters
+    assert counters.get("ring fallback", 0) == 0
+    assert counters.get("frames dispatched", 0) == len(shown_ring)
+    assert len(shown_ring) == len(shown_seg) >= len(depths) - 2
+    for a, b in zip(shown_ring, shown_seg):
+        np.testing.assert_array_equal(a, b)

@@ -46,6 +46,10 @@ __all__ = [
     "CompactLayout",
     "CompactStagedBatch",
     "unpack_staged_compact",
+    "PacketRing",
+    "RingPacket",
+    "RING_SLOTS_PER_FRAME",
+    "assemble_ring_frame",
 ]
 
 #: polarity rides in bit 30 of the int32 tp word; frame-relative
@@ -263,3 +267,218 @@ class HostStagingPool:
         self.frames_staged += 1
         w_d, n_d = jax.device_put((word, np.int32(n)), self.device)
         return CompactStagedBatch(word=w_d, count=n_d)
+
+
+# ---------------------------------------------------------------------------
+# Packet-ring pre-staging: move the bytes while the frame is still arriving
+# ---------------------------------------------------------------------------
+#
+# The staging above ships a frame's events AFTER the trigger finder has
+# segmented it, so the H2D copy sits on the critical path of the frame's
+# latency.  But the events exist long before the trigger fires: packets
+# arrive 4x per frame (delta_t = T/4, apps/depth_reprojection.py).  The
+# PacketRing stages every filtered packet to the device the moment it
+# arrives; when the trigger finder later emits a frame as a GLOBAL event
+# index range [gs, ge), the frame program assembles it on device from the
+# already-resident packet slots -- the only dispatch-time transfer is a
+# (3, K) int32 metadata array.  Per-event data crosses the link exactly
+# once, during frame accumulation, off the latency path.
+
+#: max packets assembled into one frame (4/frame nominal + trigger slack;
+#: packets longer than the slot capacity are split at staging)
+RING_SLOTS_PER_FRAME = 8
+
+
+class RingPacket(NamedTuple):
+    """One staged packet: device arrays + host-side placement metadata."""
+
+    xy: jax.Array  # (packet_capacity,) uint32: x | y << 16
+    tp: jax.Array  # (packet_capacity,) int32: t_rel | p << 30
+    gbase: int  # global index of this packet's first event
+    count: int  # valid events in the slot
+    t_base: int  # absolute microsecond timestamp of the first event
+    slot: int  # host slot index (ring bookkeeping)
+
+
+def assemble_ring_frame(
+    xys: tuple,
+    tps: tuple,
+    meta: jax.Array,
+    capacity: int,
+) -> EventBatch:
+    """Device-side frame assembly from K resident packet slots.
+
+    ``meta`` is (3, K) int32: row 0 = per-slot start lane, row 1 = per-slot
+    event count, row 2 = per-slot time offset (packet t_base minus the
+    frame's first event time).  Output lane j pulls the (j - cum)th event
+    of the slot whose cumulative-count bucket contains j, giving the same
+    contiguous, arrival-ordered, capacity-padded batch (and bit-identical
+    timestamps) as staging the segmented frame directly.
+    """
+    K = len(xys)
+    starts, counts, t_offs = meta[0], meta[1], meta[2]
+    xy = jnp.stack(xys)  # (K, P)
+    tp = jnp.stack(tps)
+    P = xy.shape[1]
+
+    cum = jnp.cumsum(counts)  # inclusive, (K,)
+    total = cum[-1]
+    j = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0).reshape(capacity)
+    # slot index: number of cumulative buckets at or below j
+    k = jnp.sum(j[:, None] >= cum[None, :], axis=1).astype(jnp.int32)
+    kc = jnp.clip(k, 0, K - 1)
+    prev = jnp.where(kc > 0, cum[jnp.maximum(kc - 1, 0)], 0)
+    idx = starts[kc] + (j - prev)
+    idxc = jnp.clip(idx, 0, P - 1)
+
+    w_xy = xy[kc, idxc].astype(jnp.int32)
+    w_tp = tp[kc, idxc]
+    count = jnp.minimum(total, capacity).astype(jnp.int32)
+    valid = j < count
+    # zero the padding lanes exactly like the segmented staging does, so
+    # the assembled batch is bit-identical to EventBatch.from_structured
+    zero = jnp.int32(0)
+    x = jnp.where(valid, w_xy & 0xFFFF, zero)
+    y = jnp.where(valid, (w_xy >> 16) & 0xFFFF, zero)
+    t = jnp.where(valid, (w_tp & _T_MASK) + t_offs[kc], zero)
+    p = jnp.where(valid, w_tp >> _P_SHIFT, zero)
+    return EventBatch(x=x, y=y, t=t, p=p, valid=valid, count=count)
+
+
+class PacketRing:
+    """Preallocated host slots + live device packets for pre-staging.
+
+    Slots are reused oldest-first once their packet has been retired
+    (every event below the trigger finder's buffer base is final: frames
+    are emitted in order and push-back never reaches behind it).  Slot
+    count defaults to 4 frames of packets so a slot is never rewritten
+    while a frame referencing it is still in flight.
+    """
+
+    def __init__(
+        self,
+        packet_capacity: int,
+        n_slots: int = 16,
+        device: Optional[jax.Device] = None,
+    ):
+        assert n_slots >= 2 * RING_SLOTS_PER_FRAME
+        self.packet_capacity = packet_capacity
+        self.device = device
+        self._slots = [
+            {
+                "xy": np.zeros(packet_capacity, np.uint32),
+                "tp": np.zeros(packet_capacity, np.int32),
+            }
+            for _ in range(n_slots)
+        ]
+        self._free = list(range(n_slots))
+        self._live: list[RingPacket] = []  # sorted by gbase
+        self._next_global = 0
+        self.packets_staged = 0
+        self.overruns = 0
+
+    def reset(self):
+        self._free = list(range(len(self._slots)))
+        self._live.clear()
+        self._next_global = 0
+
+    def stage_packets(self, evs: np.ndarray) -> bool:
+        """Stage one arrival packet (split into slot-capacity chunks).
+
+        Numbering MUST mirror the trigger finder's: both see the same
+        post-filter packet stream.  Returns False (and stages nothing
+        more) on ring overrun -- frames touching unstaged ranges fall
+        back to segmented staging.
+        """
+        P = self.packet_capacity
+        for off in range(0, len(evs), P):
+            chunk = evs[off : off + P]
+            if not self._free:
+                self.overruns += 1
+                self._next_global += len(evs) - off
+                return False
+            slot_id = self._free.pop(0)
+            slot = self._slots[slot_id]
+            n = len(chunk)
+
+            xy = slot["xy"]
+            np.left_shift(
+                chunk["y"].astype(np.uint32), 16, out=xy[:n], casting="unsafe"
+            )
+            np.bitwise_or(xy[:n], chunk["x"].astype(np.uint32), out=xy[:n])
+
+            tp = slot["tp"]
+            t64 = chunk["t"].astype(np.int64, copy=False)
+            t_base = int(t64[0])
+            np.subtract(t64, t_base, out=tp[:n], casting="unsafe")
+            np.bitwise_or(
+                tp[:n],
+                (chunk["p"].astype(np.int32) & 1) << _P_SHIFT,
+                out=tp[:n],
+            )
+
+            # stale lanes beyond n are never addressed (per-slot counts
+            # bound the assembly gather), so only [:n] must be fresh;
+            # ship the full slot so every packet has one static shape
+            xy_d, tp_d = jax.device_put((xy, tp), self.device)
+            self._live.append(
+                RingPacket(
+                    xy=xy_d,
+                    tp=tp_d,
+                    gbase=self._next_global,
+                    count=n,
+                    t_base=t_base,
+                    slot=slot_id,
+                )
+            )
+            self._next_global += n
+            self.packets_staged += 1
+        return True
+
+    def retire_below(self, gmin: int):
+        """Free slots whose packets end at or before global index gmin."""
+        keep = []
+        for pkt in self._live:
+            if pkt.gbase + pkt.count <= gmin:
+                self._free.append(pkt.slot)
+            else:
+                keep.append(pkt)
+        self._live = keep
+
+    def frame_meta(
+        self, gs: int, ge: int, frame_t0: int
+    ) -> Optional[tuple[list, np.ndarray]]:
+        """Packets + (3, K) meta covering global range [gs, ge), or None
+        if the range is not fully resident (overrun/reset) or spans more
+        than RING_SLOTS_PER_FRAME packets."""
+        K = RING_SLOTS_PER_FRAME
+        pkts, starts, counts, t_offs = [], [], [], []
+        covered = gs
+        for pkt in self._live:
+            if pkt.gbase + pkt.count <= gs or pkt.gbase >= ge:
+                continue
+            if pkt.gbase > covered:
+                return None  # hole (events were never staged)
+            s = max(gs - pkt.gbase, 0)
+            e = min(ge - pkt.gbase, pkt.count)
+            pkts.append(pkt)
+            starts.append(s)
+            counts.append(e - s)
+            t_offs.append(pkt.t_base - frame_t0)
+            covered = pkt.gbase + e
+        if covered < ge or not pkts:
+            return None
+        if len(pkts) > K:
+            return None
+        while len(starts) < K:
+            starts.append(0)
+            counts.append(0)
+            t_offs.append(0)
+        meta = np.stack(
+            [
+                np.asarray(starts, np.int32),
+                np.asarray(counts, np.int32),
+                np.asarray(t_offs, np.int32),
+            ]
+        )
+        return pkts, meta

@@ -57,6 +57,7 @@ class XMapsDepthEngine:
     _frame_fn: object = field(init=False, default=None, repr=False)
     _staged_fn: object = field(init=False, default=None, repr=False)
     _staged_compact_fn: object = field(init=False, default=None, repr=False)
+    _ring_fn: object = field(init=False, default=None, repr=False)
     #: io.prefetch.CompactLayout when 1-word staging is available
     compact_layout: object = field(init=False, default=None, repr=False)
 
@@ -70,6 +71,7 @@ class XMapsDepthEngine:
 
         from xmaps_tpu.io.prefetch import (
             CompactLayout,
+            assemble_ring_frame,
             unpack_staged,
             unpack_staged_compact,
         )
@@ -91,6 +93,18 @@ class XMapsDepthEngine:
             )
 
         self._staged_fn = jax.jit(functools.partial(staged_frame, cfg=self.cfg))
+
+        def ring_frame(xys, tps, meta, tables, cfg):
+            batch = assemble_ring_frame(xys, tps, meta, cfg.event_capacity)
+            return depth_frame(
+                batch,
+                tables,
+                cfg,
+                tail_plan=self.tail_plan,
+                event_plan=self.event_plan,
+            )
+
+        self._ring_fn = jax.jit(functools.partial(ring_frame, cfg=self.cfg))
 
         # 1-word-per-event staging layout (pure geometry; None if the
         # dims don't fit 32 bits).  The jitted consumer exists only for
@@ -135,6 +149,21 @@ class XMapsDepthEngine:
         use_pallas_tail: Optional[bool] = None,
         use_pallas_events: Optional[bool] = None,
     ) -> "XMapsDepthEngine":
+        import time as _time
+
+        _trace = os.environ.get("XMAPS_SETUP_TRACE") == "1"
+        _t0 = _time.perf_counter()
+
+        def _mark(label):
+            if _trace:
+                import sys
+
+                print(
+                    f"[setup +{_time.perf_counter() - _t0:7.2f}s] {label}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+
         cfg = PipelineConfig(
             camera_width=calib.camera_width,
             camera_height=calib.camera_height,
@@ -148,6 +177,7 @@ class XMapsDepthEngine:
             camera_perspective=camera_perspective,
         )
         maps = CamProjMaps(calib, zero_undistort_proj_map=zero_undistort_proj_map)
+        _mark("CamProjMaps (host calibration math)")
 
         if projector_time_map_path is not None:
             # precalibrated rectified time map (reference proj_time_map.py:47-49)
@@ -160,8 +190,10 @@ class XMapsDepthEngine:
         x_map_np = XMapsDepthEngine._build_or_load_xmap(
             time_map_rect, cfg, xmap_cache_dir, use_device_xmap_build
         )
+        _mark("X-map build/load")
 
         tables = DeviceTables.from_maps(maps, x_map_np)
+        _mark("DeviceTables H2D")
 
         # The fused Pallas kernels are TPU-specific (Mosaic lowering); CPU
         # tests and other accelerators use the XLA path.
@@ -211,6 +243,7 @@ class XMapsDepthEngine:
                     tables.cam_map_packed, x_map_np
                 )
 
+        _mark("pallas plans built")
         return XMapsDepthEngine(
             cfg=cfg,
             maps=maps,
@@ -310,6 +343,24 @@ class XMapsDepthEngine:
                 )
             return self._staged_compact_fn(staged, self.tables)
         return self._staged_fn(staged, self.tables)
+
+    def process_ring(self, packets, meta: np.ndarray) -> FrameResult:
+        """Run the frame program on device-resident ring packets
+        (io.prefetch.PacketRing pre-staging): ``packets`` is the list of
+        RingPackets covering the frame, ``meta`` the (3, K) placement
+        array from PacketRing.frame_meta.  Only ``meta`` crosses the
+        host->device link at dispatch time."""
+        from xmaps_tpu.io.prefetch import RING_SLOTS_PER_FRAME as K
+
+        assert 0 < len(packets) <= K
+        pad = packets[0]
+        xys = tuple(
+            (packets[i] if i < len(packets) else pad).xy for i in range(K)
+        )
+        tps = tuple(
+            (packets[i] if i < len(packets) else pad).tp for i in range(K)
+        )
+        return self._ring_fn(xys, tps, meta, self.tables)
 
     def dump_frame_csv(self, events: np.ndarray, csv_path: str) -> int:
         """Write one frame's per-event debug CSV: raw coords, rectified

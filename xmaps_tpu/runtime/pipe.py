@@ -20,7 +20,7 @@ import jax
 
 from xmaps_tpu.config import RuntimeParams
 from xmaps_tpu.io.filters import ActivityNoiseFilter
-from xmaps_tpu.io.prefetch import HostStagingPool
+from xmaps_tpu.io.prefetch import HostStagingPool, PacketRing
 from xmaps_tpu.models.depth_pipeline import XMapsDepthEngine
 from xmaps_tpu.ops.filters import FILTER_NAMES
 from xmaps_tpu.runtime.trigger_finder import RobustTriggerFinder
@@ -40,6 +40,13 @@ class DepthReprojectionPipe:
     #: keep one frame in flight so device compute overlaps segmentation
     #: (highest throughput, plus ~1 frame of display delay).
     low_latency: bool = False
+
+    #: Pre-stage every filtered packet to the device as it arrives
+    #: (io.prefetch.PacketRing): the frame's event data is already
+    #: HBM-resident when the trigger fires, so dispatch ships only a
+    #: (3, K) placement array.  Falls back to segmented staging per
+    #: frame on ring overrun.
+    prestage: bool = True
 
     trigger_finder: RobustTriggerFinder = field(init=False)
     watchdog: TimingWatchdog = field(init=False)
@@ -66,11 +73,19 @@ class DepthReprojectionPipe:
             depth=2,
             layout=self.engine.compact_layout,
         )
+        self.ring = (
+            PacketRing(packet_capacity=self.engine.cfg.event_capacity // 2)
+            if self.prestage
+            else None
+        )
 
         self.trigger_finder = RobustTriggerFinder(
             projector_fps=p.projector_fps,
             stats=self.stats_printer,
             frame_callback=self.process_ev_frame,
+            frame_callback_indexed=(
+                self.process_ev_frame_indexed if self.ring else None
+            ),
         )
         self.watchdog = TimingWatchdog(
             stats_printer=self.stats_printer, projector_fps=p.projector_fps
@@ -88,9 +103,40 @@ class DepthReprojectionPipe:
         with self.stats_printer.measure_time("act+pol filter"):
             evs = self.act_filter.process(evs)
 
+        if self.ring is not None and len(evs):
+            with self.stats_printer.measure_time("prestage packet"):
+                self.ring.stage_packets(evs)
+
         self.trigger_finder.process_events(evs)
 
     # -- per frame ---------------------------------------------------------
+
+    def process_ev_frame_indexed(self, evs: np.ndarray, gstart: int):
+        """Indexed trigger-finder callback (pre-staging mode): the frame's
+        events are already device-resident ring packets; dispatch ships
+        only their placement metadata."""
+        self._flush_pending()
+
+        meta_out = (
+            self.ring.frame_meta(
+                gstart, gstart + len(evs), int(evs["t"][0])
+            )
+            if len(evs)
+            else None
+        )
+        if meta_out is None:
+            # overrun/hole: this frame's packets are not (all) resident
+            self.stats_printer.count("ring fallback")
+            self._dispatch_segmented(evs)
+        else:
+            pkts, meta = meta_out
+            with self.stats_printer.measure_time("dispatch frame"):
+                result = self.engine.process_ring(pkts, meta)
+            self._pending = result
+            self.stats_printer.count("frames dispatched")
+        self.ring.retire_below(self.trigger_finder.buffer_global_base)
+        if self.low_latency:
+            self._flush_pending()
 
     def process_ev_frame(self, evs: np.ndarray):
         """Trigger-finder callback: one frame of events -> device program.
@@ -100,7 +146,11 @@ class DepthReprojectionPipe:
         (double buffering; the EventBatch staging alternates buffers).
         """
         self._flush_pending()
+        self._dispatch_segmented(evs)
+        if self.low_latency:
+            self._flush_pending()
 
+    def _dispatch_segmented(self, evs: np.ndarray):
         with self.stats_printer.measure_time("stage batch"):
             # reused host buffers, packed words, async H2D (io.prefetch);
             # the copy overlaps host-side segmentation.  Unfiltered
@@ -117,8 +167,6 @@ class DepthReprojectionPipe:
             result = self.engine.process_staged(batch)
         self._pending = result
         self.stats_printer.count("frames dispatched")
-        if self.low_latency:
-            self._flush_pending()
 
     def _flush_pending(self):
         if self._pending is None:
@@ -152,3 +200,5 @@ class DepthReprojectionPipe:
         self.watchdog.reset()
         self.trigger_finder.reset()
         self.act_filter.reset()
+        if self.ring is not None:
+            self.ring.reset()

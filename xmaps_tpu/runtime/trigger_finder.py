@@ -55,16 +55,16 @@ class EventBufferList:
     def num_events(self) -> int:
         return sum(len(b) for b in self._bufs)
 
-    def drop(self, drop_len_ms: float) -> bool:
+    def drop(self, drop_len_ms: float) -> int:
         """Drop whole chunks from the front covering drop_len_ms
-        (reference: trigger_finder.py:62-74)."""
+        (reference: trigger_finder.py:62-74).  Returns how many events
+        were dropped (0 = nothing to drop)."""
         if self.empty():
-            return False
+            return 0
         drop_until_us = self.first_ev_time() + drop_len_ms * 1000
-        dropped = False
+        dropped = 0
         while not self.empty() and self.first_ev_time() < drop_until_us:
-            self._bufs.pop(0)
-            dropped = True
+            dropped += len(self._bufs.pop(0))
         return dropped
 
     def pop_all(self) -> np.ndarray:
@@ -91,6 +91,13 @@ class RobustTriggerFinder:
     stats: StatsPrinter
     frame_callback: Callable[[np.ndarray], None]
 
+    #: when set, called as (frame_events, global_start_index) instead of
+    #: frame_callback.  The global index counts every event ever passed to
+    #: process_events (the post-filter packet stream), so a pre-staging
+    #: consumer (io.prefetch.PacketRing) that numbers the same stream can
+    #: map the frame onto its device-resident packets.
+    frame_callback_indexed: Optional[Callable[[np.ndarray, int], None]] = None
+
     frame_paused_thresh_us: int = FRAME_PAUSED_THRESH_US
     min_events_per_frame: int = MIN_EVENTS_PER_FRAME
 
@@ -98,15 +105,24 @@ class RobustTriggerFinder:
     last_frame_start_us: int = -1
 
     _ev_buf: EventBufferList = field(default_factory=EventBufferList)
+    #: global index of the first buffered event
+    _gbase: int = 0
 
     @property
     def frame_len_ms(self) -> float:
         return 1e3 / self.projector_fps
 
+    @property
+    def buffer_global_base(self) -> int:
+        """Global index of the first still-buffered event; everything
+        below it is final (emitted, dropped or discarded)."""
+        return self._gbase
+
     def reset(self):
         self._ev_buf.pop_all()
         self.should_drop = False
         self.last_frame_start_us = -1
+        self._gbase = 0
 
     def drop_frame(self):
         self.should_drop = True
@@ -115,7 +131,9 @@ class RobustTriggerFinder:
         self._ev_buf.append(evs)
 
         if self.should_drop:
-            if self._ev_buf.drop(self.frame_len_ms):
+            dropped = self._ev_buf.drop(self.frame_len_ms)
+            if dropped:
+                self._gbase += dropped
                 self.stats.count("frames dropped")
                 self.should_drop = False
             else:
@@ -151,7 +169,13 @@ class RobustTriggerFinder:
                 continue
             if span <= frame_period_us and next_idx - prev_idx > self.min_events_per_frame:
                 # trim the boundary events (reference trigger_finder.py:172)
-                self.frame_callback(evs[prev_idx + 2 : next_idx - 2])
+                frame = evs[prev_idx + 2 : next_idx - 2]
+                if self.frame_callback_indexed is not None:
+                    self.frame_callback_indexed(
+                        frame, self._gbase + int(prev_idx) + 2
+                    )
+                else:
+                    self.frame_callback(frame)
                 start_time = int(evs["t"][prev_idx + 2])
                 end_time = int(evs["t"][next_idx - 2])
                 self.stats.add_metric("frame len [ms]", (end_time - start_time) / 1e3)
@@ -162,9 +186,11 @@ class RobustTriggerFinder:
                     )
                 self.last_frame_start_us = start_time
                 self._ev_buf.push(evs[next_idx - 2 :])
+                self._gbase += int(next_idx) - 2
                 return start_time
             # malformed gap structure: discard up to the second pause
             self._ev_buf.push(evs[next_idx:])
+            self._gbase += int(next_idx)
             return -1
         # No pause pair spanning more than half a frame yet.  The reference
         # discards the whole run here (trigger_finder.py:189), which
@@ -174,4 +200,7 @@ class RobustTriggerFinder:
         # for the next frame's gap.
         if len(pauses):
             self._ev_buf.push(evs[pauses[-1] :])
+            self._gbase += int(pauses[-1])
+        else:
+            self._gbase += len(evs)
         return -1
