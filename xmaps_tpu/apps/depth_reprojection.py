@@ -19,12 +19,28 @@ from xmaps_tpu.io.event_iterator import FileEventsIterator
 from xmaps_tpu.runtime.processor import DepthReprojectionProcessor
 
 
-def project_events(bias, input, params, delta_t, ev_processor):
-    """Replay loop: pull delta_t packets through the processor
+def project_events(bias, input, capture, params, delta_t, ev_processor):
+    """Replay/live loop: pull delta_t packets through the processor
     (reference: depth_reprojection.py:10-29)."""
-    mv_iterator = FileEventsIterator(
-        input_filename=input, delta_t=delta_t, bias_file=bias
-    )
+    if input:
+        mv_iterator = FileEventsIterator(
+            input_filename=input, delta_t=delta_t, bias_file=bias
+        )
+    else:
+        # live capture through a registered backend (io.capture)
+        from xmaps_tpu.io.capture import LiveEventsIterator, open_capture
+
+        session = open_capture(
+            capture or "",
+            bias_file=bias,
+            camera_width=params.camera_width,
+            camera_height=params.camera_height,
+            projector_width=params.projector_width,
+            projector_height=params.projector_height,
+            projector_fps=params.projector_fps,
+            calib_yaml=params.calib,
+        )
+        mv_iterator = LiveEventsIterator(session, delta_t=delta_t)
     cam_height_reader, cam_width_reader = mv_iterator.get_size()
 
     assert cam_height_reader == params.camera_height, (
@@ -59,12 +75,19 @@ def project_events(bias, input, params, delta_t, ev_processor):
     type=click.Path(exists=True),
     required=True,
 )
-@click.option("--bias", help="Sensor .bias settings file (live-capture seam; unused for file replay)", type=click.Path())
+@click.option("--bias", help="Sensor .bias settings file, programmed into the camera for live capture (unused for file replay)", type=click.Path())
 @click.option(
     "--input",
-    help="Prerecorded event stream to replay: EVT2/EVT3 .raw, .dat, or structured .npy.",
+    help="Prerecorded event stream to replay: EVT2/EVT3 .raw, .dat, or "
+    "structured .npy. Omit to capture live through a backend (--capture).",
     type=click.Path(exists=True),
-    required=True,
+    default=None,
+)
+@click.option(
+    "--capture",
+    default=None,
+    help="Live-capture backend as 'name' or 'name:serial' (io.capture "
+    "registry; 'synthetic' is built in). Used when --input is omitted.",
 )
 @click.option("--loop-input", help="Restart the replay from the top when the file ends", is_flag=True)
 @click.option(
@@ -101,8 +124,8 @@ def project_events(bias, input, params, delta_t, ev_processor):
     "directory (view with TensorBoard / xprof)",
 )
 def main(
-    bias, input, loop_input, window, out_dir, profile_dir, low_latency,
-    **cli_params,
+    bias, input, capture, loop_input, window, out_dir, profile_dir,
+    low_latency, **cli_params,
 ):
     params = RuntimeParams(**cli_params)
 
@@ -126,8 +149,8 @@ def main(
         low_latency=low_latency,
     ) as ev_processor, trace_cm:
         while True:
-            project_events(bias, input, params, delta_t, ev_processor)
-            if loop_input:
+            project_events(bias, input, capture, params, delta_t, ev_processor)
+            if loop_input and input:
                 ev_processor.reset()
             else:
                 break

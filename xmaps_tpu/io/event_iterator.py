@@ -37,8 +37,9 @@ class FileEventsIterator:
     ):
         if not input_filename:
             raise RuntimeError(
-                "Live camera capture is not available on this host; "
-                "provide an input file (.raw/.dat/.npy)."
+                "FileEventsIterator needs an input file (.raw/.dat/.npy); "
+                "for live capture use io.capture.open_capture + "
+                "LiveEventsIterator (pluggable backend registry)."
             )
         if not (os.path.exists(input_filename) and os.path.isfile(input_filename)):
             print(
