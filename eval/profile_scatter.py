@@ -1,0 +1,136 @@
+"""Isolate the deterministic-scatter sub-costs on the real device.
+
+Times, over pre-staged device inputs:
+  - sort2:    lax.sort((lin, packed), num_keys=2)
+  - set_u32:  unique-indices .at[].set of 28k winners into the 2.4M map
+  - max_u32:  duplicate-capable .at[].max (the old strategy)
+  - zeros:    materializing the zero map alone
+  - set_u16:  winner set at u16 into a half-size map
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed(fn, args_list, n_small=8, n_large=32, trials=6):
+    import jax
+
+    def round_(k):
+        outs = []
+        t0 = time.perf_counter()
+        for i in range(k):
+            outs.append(fn(args_list[i % len(args_list)]))
+            if len(outs) > 3:
+                outs.pop(0)
+        jax.block_until_ready(outs[-1])
+        np.asarray(jax.tree.leaves(outs[-1])[0]).ravel()[:1]
+        return time.perf_counter() - t0
+
+    fn(args_list[0])
+    t_s = min(round_(n_small) for _ in range(trials))
+    t_l = min(round_(n_large) for _ in range(trials))
+    return (t_l - t_s) / (n_large - n_small)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/xmaps_tpu/jax_cache"),
+    )
+    dev = jax.devices()[0]
+    jax.block_until_ready(jax.device_put(np.zeros(8, np.float32), dev) + 1)
+
+    H, W = 1320, 1792
+    N = 28 * 1024
+    rng = np.random.default_rng(3)
+    inputs = []
+    for _ in range(8):
+        lin = np.sort(
+            rng.integers(0, H * W, N).astype(np.uint32)
+        )  # sorted, mostly unique
+        packed = rng.integers(1, 2**28, N).astype(np.uint32)
+        inputs.append(
+            (jax.device_put(lin, dev), jax.device_put(packed, dev))
+        )
+
+    HW = H * W
+
+    @jax.jit
+    def sort2(a):
+        lin, packed = a
+        s = jax.lax.sort((lin, packed), num_keys=2)
+        return s[0][-1] + s[1][0]
+
+    @jax.jit
+    def set_u32(a):
+        lin_s, packed_s = a
+        is_win = jnp.concatenate(
+            [lin_s[:-1] != lin_s[1:], jnp.ones((1,), jnp.bool_)]
+        )
+        tgt = jnp.where(is_win, lin_s, HW)
+        flat = jnp.zeros((HW,), jnp.uint32)
+        return flat.at[tgt].set(packed_s, mode="drop", unique_indices=True)
+
+    @jax.jit
+    def max_u32(a):
+        lin, packed = a
+        flat = jnp.zeros((HW,), jnp.uint32)
+        return flat.at[lin].max(packed, mode="drop")
+
+    @jax.jit
+    def zeros(a):
+        lin, _ = a
+        return jnp.zeros((HW,), jnp.uint32) + lin[0]
+
+    @jax.jit
+    def set_u16(a):
+        lin_s, packed_s = a
+        is_win = jnp.concatenate(
+            [lin_s[:-1] != lin_s[1:], jnp.ones((1,), jnp.bool_)]
+        )
+        tgt = jnp.where(is_win, lin_s, HW)
+        flat = jnp.zeros((HW,), jnp.uint16)
+        return flat.at[tgt].set(
+            (packed_s & 0x1FFF).astype(jnp.uint16),
+            mode="drop",
+            unique_indices=True,
+        )
+
+    @jax.jit
+    def set_2d(a):
+        """scatter into (HW//128, 128) via row/lane split -- 2D layout"""
+        lin_s, packed_s = a
+        is_win = jnp.concatenate(
+            [lin_s[:-1] != lin_s[1:], jnp.ones((1,), jnp.bool_)]
+        )
+        tgt = jnp.where(is_win, lin_s, HW)
+        rows, lanes = (tgt // 128).astype(jnp.int32), (tgt % 128).astype(jnp.int32)
+        m = jnp.zeros((HW // 128 + 1, 128), jnp.uint32)
+        return m.at[rows, lanes].set(
+            packed_s, mode="drop", unique_indices=True
+        )
+
+    out = {}
+    for name, fn in [
+        ("sort2_us", sort2),
+        ("set_u32_us", set_u32),
+        ("max_u32_us", max_u32),
+        ("zeros_us", zeros),
+        ("set_u16_us", set_u16),
+        ("set_2d_us", set_2d),
+    ]:
+        out[name] = round(timed(fn, inputs) * 1e6, 1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,6 +80,38 @@ def test_full_frame_bit_exact(rig, camera_perspective):
     assert int(got.num_inliers) == int(ref.num_inliers)
 
 
+def test_presorted_staging_bit_exact(rig):
+    """Host y-pre-sorted staging (from_structured_sorted + presort_priority)
+    must produce the same frame as arrival-order staging with the device
+    sort."""
+    engine, batch, plan = rig
+    events = simulate_plane_events(
+        make_synthetic_calibration(
+            camera_width=128, camera_height=96,
+            projector_width=96, projector_height=128,
+        ),
+        depth_m=0.7, subsample=0.4, jitter_us=2.0,
+        rng=np.random.default_rng(11),
+    )
+    b0 = EventBatch.from_structured(events, CAPACITY)
+    bs, prio = EventBatch.from_structured_sorted(events, CAPACITY)
+    # the sorted batch is a y-sorted permutation of the same events
+    order = np.asarray(prio)[: len(events)]
+    np.testing.assert_array_equal(np.asarray(bs.x)[: len(events)],
+                                  np.asarray(b0.x)[order])
+    assert (np.diff(np.asarray(bs.y)[: len(events)]) >= 0).all()
+
+    ref = depth_frame(b0, engine.tables, engine.cfg,
+                      event_plan=plan, pallas_interpret=True)
+    got = depth_frame(bs, engine.tables, engine.cfg,
+                      event_plan=plan, pallas_interpret=True,
+                      presort_priority=prio)
+    np.testing.assert_array_equal(np.asarray(got.disp_map), np.asarray(ref.disp_map))
+    np.testing.assert_array_equal(np.asarray(got.depth), np.asarray(ref.depth))
+    np.testing.assert_array_equal(np.asarray(got.frame_bgr), np.asarray(ref.frame_bgr))
+    assert int(got.num_inliers) == int(ref.num_inliers)
+
+
 def test_float_t_falls_back(rig):
     """The eval path (float normalized timestamps) must silently use the
     XLA path even when an event plan is passed."""

@@ -47,8 +47,8 @@ def _xla_tail(disp_rect, maps, z_near, z_far):
 def test_plan_shapes(rig):
     calib, maps, plan = rig
     assert plan.RB % 8 == 0 and plan.CB % 128 == 0
-    assert plan.GR * 32 >= calib.projector_height
-    assert plan.GC * 128 >= calib.projector_width
+    assert plan.GR * plan.TH >= calib.projector_height
+    assert plan.GC * plan.TW >= calib.projector_width
     # all used rows must fall inside the band
     used = plan.x_abs >= 0
     Y = maps.disp_proj_mapy_i16.astype(np.int64)

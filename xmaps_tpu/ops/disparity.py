@@ -139,6 +139,7 @@ def compute_event_disparity_pallas(
     *,
     t_px_scale: int,
     t_scaled: jax.Array | None = None,
+    presorted_priority: jax.Array | None = None,
     interpret: bool = False,
 ):
     """Per-event disparity stage through the fused Pallas gather kernel.
@@ -150,6 +151,13 @@ def compute_event_disparity_pallas(
     index rides along as the scatter priority, so downstream
     last-write-wins results are bit-identical to the unsorted path.
 
+    ``presorted_priority``: when the host staged the batch already sorted
+    by raw y (EventBatch.from_structured_sorted), pass the carried
+    original-arrival indices here and the device sort (~36 us at 28k) is
+    skipped entirely.  Results are bit-identical: lane order differs from
+    the device-sorted layout, but every downstream consumer resolves
+    winners through the priority, not the lane index.
+
     Returns (DisparityResult in sorted order, (x_sorted, y_sorted),
     priority).  Integer timestamps only (the streaming path).
     """
@@ -160,13 +168,18 @@ def compute_event_disparity_pallas(
         t_scaled = _scale_time_int(batch.t, t_min, t_max, t_px_scale)
 
     n = batch.x.shape[0]
-    prio0 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(n)
-    ys, xs, ts, valid_s, prio = jax.lax.sort(
-        (batch.y, batch.x, t_scaled, batch.valid.astype(jnp.int32), prio0),
-        num_keys=1,
-        is_stable=True,
-    )
-    valid_s = valid_s.astype(jnp.bool_)
+    if presorted_priority is not None:
+        ys, xs, ts = batch.y, batch.x, t_scaled
+        valid_s = batch.valid
+        prio = presorted_priority
+    else:
+        prio0 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(n)
+        ys, xs, ts, valid_s, prio = jax.lax.sort(
+            (batch.y, batch.x, t_scaled, batch.valid.astype(jnp.int32), prio0),
+            num_keys=1,
+            is_stable=True,
+        )
+        valid_s = valid_s.astype(jnp.bool_)
 
     xr, yr, x_proj = rectify_and_lookup(xs, ys, ts, plan, interpret=interpret)
 

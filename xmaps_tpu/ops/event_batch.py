@@ -91,3 +91,46 @@ class EventBatch(NamedTuple):
         return EventBatch.from_arrays(
             evs["x"], evs["y"], evs["t"], evs["p"], capacity
         )
+
+    @staticmethod
+    def from_structured_sorted(
+        evs: np.ndarray, capacity: int
+    ) -> tuple["EventBatch", jax.Array]:
+        """Build a batch pre-sorted by raw y, plus the carried priorities.
+
+        The fused Pallas event kernel wants events y-sorted so its banded
+        table walk touches few row groups; sorting during host staging
+        (a stable counting sort, off the device's critical path) lets the
+        device skip its lax.sort.  Returns (batch, priority) where
+        priority[i] is the event's original arrival index -- pass both to
+        the frame program (depth_frame(presort_priority=...)) for results
+        bit-identical to the device-sorted path.
+
+        Timestamps must be rebased BEFORE sorting (the device path rebases
+        to the arrival-first event), so this mirrors from_arrays' rebase
+        on the unsorted stream.
+        """
+        n = min(len(evs), capacity)
+        evs = evs[:n]
+        t_rel = np.asarray(evs["t"], dtype=np.int64)
+        if n:
+            t_rel = t_rel - t_rel[0]
+        order = np.argsort(evs["y"][:n], kind="stable")
+        batch = EventBatch.from_arrays(
+            np.asarray(evs["x"])[order],
+            np.asarray(evs["y"])[order],
+            t_rel[order],
+            np.asarray(evs["p"])[order],
+            capacity,
+        )
+        # from_arrays rebases t to the first lane again; the sorted stream's
+        # first lane is not the arrival-first event, so restore the correct
+        # relative times explicitly.
+        t_pad = np.zeros(capacity, np.int32)
+        t_pad[:n] = t_rel[order]
+        prio = np.zeros(capacity, np.int32)
+        prio[:n] = order
+        return (
+            batch._replace(t=jnp.asarray(t_pad)),
+            jnp.asarray(prio),
+        )

@@ -79,6 +79,7 @@ def depth_frame(
     event_plan=None,
     pallas_interpret: bool = False,
     t_scaled=None,
+    presort_priority=None,
 ) -> FrameResult:
     """One projector frame of events -> colorized depth map.
 
@@ -96,6 +97,10 @@ def depth_frame(
     normalization; only valid with ``frame_filter == "none"`` (filters
     change the frame's time bounds, so bins must be computed after
     filtering).
+    ``presort_priority`` (int32 original-arrival indices from
+    EventBatch.from_structured_sorted) marks the batch as already y-sorted
+    on the host, skipping the device sort in the Pallas event path --
+    bit-identical results, ~36 us less device time per frame at 28k.
     """
     from xmaps_tpu.ops.disparity import (
         compute_event_disparity_pallas,
@@ -116,12 +121,19 @@ def depth_frame(
         and jnp.issubdtype(batch.t.dtype, jnp.integer)
     )
 
+    if presort_priority is not None and not use_pallas_events:
+        raise ValueError(
+            "presort_priority is only consumed by the Pallas event path "
+            "(event_plan set, no frame filter, integer timestamps)"
+        )
+
     if use_pallas_events:
         res, (ev_x, ev_y), priority = compute_event_disparity_pallas(
             batch,
             event_plan,
             t_px_scale=cfg.t_px_scale,
             t_scaled=t_scaled,
+            presorted_priority=presort_priority,
             interpret=pallas_interpret,
         )
     else:

@@ -6,11 +6,12 @@ XLA's general gather on TPU costs ~10ns/element (~9.5 ms for the 921k-pixel
 remap); this kernel exploits the static smoothness of the rectification
 maps instead:
 
-- For each (32, 128) output tile, the source pixels live in a small
-  axis-aligned band of the rectified disparity map (the maps are
+- For each (TH, 128) output tile (TH=64 default; taller tiles amortize
+  per-step DMA/semaphore/bookkeeping costs), the source pixels live in a
+  small axis-aligned band of the rectified disparity map (the maps are
   near-affine: ~1.03 px/row vertically, ~2.44 px/col horizontally, plus a
   few pixels of lens distortion).  The band (RB x CB, precomputed bounds)
-  is DMA'd to VMEM.
+  is DMA'd to VMEM, double-buffered across grid steps.
 - The 7x7 max-dilation runs on the band in VMEM (separable shifted maxes;
   the +3 halo is included in the band, and zero padding equals
   border-replicate for non-negative disparity).
@@ -68,13 +69,21 @@ class TailPlan:
     Wp: int
     Hp_pad: int
     Wp_pad: int
+    TH: int  # output tile height (multiple of 8)
+    TW: int  # output tile width (multiple of 128)
     RB: int  # band rows per tile (multiple of 8)
     CB: int  # band cols per tile (multiple of 128)
-    GR: int  # grid rows (Hp_pad / 32)
-    GC: int  # grid cols (Wp_pad / 128)
+    GR: int  # grid rows (Hp_pad / TH)
+    GC: int  # grid cols (Wp_pad / TW)
 
     row0: np.ndarray  # (GR*GC,) i32 band row starts
     col0: np.ndarray  # (GR*GC,) i32 band col starts
+    #: (GR*GC*4,) i32: per (tile, 8-output-row sub-block) band-relative
+    #: 8-aligned first source row actually referenced; the kernel's
+    #: row-group loop covers [qbase, qbase + QH*8) instead of the whole
+    #: band
+    qbase: np.ndarray
+    QH: int  # row groups per sub-block (global max, typically 2-3)
     #: (Hp_pad, Wp_pad) i32: absolute rect col; bit 20 selects the yhat slot
     #: (two output pixels can share a rect column with different source
     #: rows at i16 rounding boundaries); -1 if out of bounds
@@ -95,8 +104,17 @@ def build_tail_plan(
     p03: float,
     z_near: float,
     z_far: float,
+    tile: tuple[int, int] = (64, 128),
 ) -> TailPlan:
-    """Precompute band bounds and the two-pass gather tables."""
+    """Precompute band bounds and the two-pass gather tables.
+
+    ``tile`` is the output tile footprint per grid step.  Taller tiles
+    amortize the per-step costs (DMA issue, semaphores, grid bookkeeping)
+    over more pixels; the width stays at 128 lanes so the per-micro-block
+    band column-group loop stays narrow.
+    """
+    TH, TW = tile
+    assert TH % 8 == 0 and TW == 128, "tile width must be one lane group"
     Hp, Wp = proj_mapx_i16.shape
     H, W = rect_height, rect_width
 
@@ -106,9 +124,9 @@ def build_tail_plan(
     Xc = np.clip(X, 0, W - 1)
     Yc = np.clip(Y, 0, H - 1)
 
-    Hp_pad = _round_up(Hp, 32)
-    Wp_pad = _round_up(Wp, 128)
-    GR, GC = Hp_pad // 32, Wp_pad // 128
+    Hp_pad = _round_up(Hp, TH)
+    Wp_pad = _round_up(Wp, TW)
+    GR, GC = Hp_pad // TH, Wp_pad // TW
 
     def pad_edge(a, rows, cols):
         return np.pad(a, ((0, rows - a.shape[0]), (0, cols - a.shape[1])), mode="edge")
@@ -118,8 +136,8 @@ def build_tail_plan(
     inbp = pad_edge(inb.astype(np.int8), Hp_pad, Wp_pad).astype(bool)
 
     # per-tile source extents (+3 dilate halo on each side)
-    ty = Yp.reshape(GR, 32, GC, 128)
-    tx = Xp.reshape(GR, 32, GC, 128)
+    ty = Yp.reshape(GR, TH, GC, TW)
+    tx = Xp.reshape(GR, TH, GC, TW)
     ymin = ty.min(axis=(1, 3)) - 3
     ymax = ty.max(axis=(1, 3)) + 3
     xmin = tx.min(axis=(1, 3)) - 3
@@ -178,11 +196,41 @@ def build_tail_plan(
         np.int32
     )
 
+    # Per (tile, 8-output-row sub-block) source-row window: the rows the
+    # column gather actually reads are exactly Yp of the in-bounds output
+    # pixels (both collision slots resolve to Yp at their selected lanes),
+    # so the kernel's row-group loop only needs to cover that span --
+    # typically ~10 rows (two 8-row groups from an unaligned base) instead
+    # of the whole band.
+    row0_t = row0.reshape(-1)
+    nq = TH // 8
+    qbase = np.zeros((GR * GC * nq,), np.int32)
+    QH = 1
+    for ti in range(GR):
+        for tj in range(GC):
+            t = ti * GC + tj
+            for q in range(nq):
+                rs = slice(ti * TH + q * 8, ti * TH + (q + 1) * 8)
+                cs = slice(tj * TW, (tj + 1) * TW)
+                used = inbp[rs, cs]
+                if not used.any():
+                    continue
+                rows = Yp[rs, cs][used] - row0_t[t]
+                # 8-aligned base (Mosaic vector loads need aligned sublane
+                # starts); the window is at most one group wider for it
+                lo = (int(rows.min()) // 8) * 8
+                qbase[t * nq + q] = lo
+                QH = max(QH, int(rows.max()) // 8 - lo // 8 + 1)
+    # keep every window inside the DMA'd band
+    qbase = np.minimum(qbase, max(RB - QH * 8, 0)).astype(np.int32)
+
     return TailPlan(
         H=H, W=W, H_pad=H_pad, W_pad=W_pad,
         Hp=Hp, Wp=Wp, Hp_pad=Hp_pad, Wp_pad=Wp_pad,
+        TH=TH, TW=TW,
         RB=RB, CB=CB, GR=GR, GC=GC,
-        row0=row0.reshape(-1), col0=col0.reshape(-1),
+        row0=row0_t, col0=col0.reshape(-1),
+        qbase=qbase, QH=QH,
         x_abs=x_abs, yhat_a=yhat_a, yhat_b=yhat_b,
         p03=float(p03), z_near=float(z_near), z_far=float(z_far),
     )
@@ -206,6 +254,7 @@ def _shift_max_sublanes(a, s):
 def _tail_kernel(
     row0_ref,
     col0_ref,
+    qbase_ref,
     x_abs_ref,
     lut_ref,
     disp_ref,
@@ -219,6 +268,7 @@ def _tail_kernel(
     band,
     yh_a,
     yh_b,
+    dil,
     sems,
     *,
     plan: TailPlan,
@@ -228,27 +278,71 @@ def _tail_kernel(
     from jax.experimental.pallas import tpu as pltpu
 
     RB, CB = plan.RB, plan.CB
+    TH, TW = plan.TH, plan.TW
     i = pl.program_id(0)
     j = pl.program_id(1)
     tile = i * plan.GC + j
+    n_tiles = plan.GR * plan.GC
     row0 = pl.multiple_of(row0_ref[tile], 8)
     col0 = pl.multiple_of(col0_ref[tile], 128)
 
-    dmas = [
+    # Manual double buffering: the grid runs sequentially on one core, so
+    # tile t starts tile t+1's band DMAs before doing its own compute --
+    # without this, every tile pays the full HBM DMA latency up front.
+    def start_dmas(t, slot):
+        r0 = pl.multiple_of(row0_ref[t], 8)
+        c0 = pl.multiple_of(col0_ref[t], 128)
+        ti = t // plan.GC
         pltpu.make_async_copy(
-            disp_ref.at[pl.ds(row0, RB), pl.ds(col0, CB)], band, sems.at[0]
-        ),
+            disp_ref.at[pl.ds(r0, RB), pl.ds(c0, CB)],
+            band.at[slot],
+            sems.at[slot, 0],
+        ).start()
         pltpu.make_async_copy(
-            yhat_a_ref.at[pl.ds(i * 32, 32), pl.ds(col0, CB)], yh_a, sems.at[1]
-        ),
+            yhat_a_ref.at[pl.ds(ti * TH, TH), pl.ds(c0, CB)],
+            yh_a.at[slot],
+            sems.at[slot, 1],
+        ).start()
         pltpu.make_async_copy(
-            yhat_b_ref.at[pl.ds(i * 32, 32), pl.ds(col0, CB)], yh_b, sems.at[2]
-        ),
-    ]
-    for dma in dmas:
-        dma.start()
-    for dma in dmas:
-        dma.wait()
+            yhat_b_ref.at[pl.ds(ti * TH, TH), pl.ds(c0, CB)],
+            yh_b.at[slot],
+            sems.at[slot, 2],
+        ).start()
+
+    def wait_dmas(t, slot):
+        r0 = pl.multiple_of(row0_ref[t], 8)
+        c0 = pl.multiple_of(col0_ref[t], 128)
+        ti = t // plan.GC
+        pltpu.make_async_copy(
+            disp_ref.at[pl.ds(r0, RB), pl.ds(c0, CB)],
+            band.at[slot],
+            sems.at[slot, 0],
+        ).wait()
+        pltpu.make_async_copy(
+            yhat_a_ref.at[pl.ds(ti * TH, TH), pl.ds(c0, CB)],
+            yh_a.at[slot],
+            sems.at[slot, 1],
+        ).wait()
+        pltpu.make_async_copy(
+            yhat_b_ref.at[pl.ds(ti * TH, TH), pl.ds(c0, CB)],
+            yh_b.at[slot],
+            sems.at[slot, 2],
+        ).wait()
+
+    slot = jax.lax.rem(tile, 2)
+
+    @pl.when(tile == 0)
+    def _():
+        start_dmas(0, 0)
+
+    @pl.when(tile + 1 < n_tiles)
+    def _():
+        start_dmas(tile + 1, jax.lax.rem(tile + 1, 2))
+
+    wait_dmas(tile, slot)
+    band = band.at[slot]
+    yh_a = yh_a.at[slot]
+    yh_b = yh_b.at[slot]
 
     # --- dilate the band in VMEM (separable 7x7 max) -----------------------
     # shifted maxes compose: radius 1 then 2 covers the +-3 (7-wide) window
@@ -263,12 +357,16 @@ def _tail_kernel(
         d = _shift_max_lanes(d, s)
     for s in (1, 2):
         d = _shift_max_sublanes(d, s)
+    # park the dilated band in scratch: the row-window loop below reads it
+    # at per-sub-block *traced* (unaligned) sublane offsets, which needs a
+    # ref (values cannot be dynamically sliced)
+    dil[:] = d
 
     # --- per-tile tables ---------------------------------------------------
-    # (32, CB) band-relative source rows, both collision slots
+    # (TH, CB) band-relative source rows, both collision slots
     R_a = yh_a[:].astype(jnp.int32) - row0
     R_b = yh_b[:].astype(jnp.int32) - row0
-    X_enc = x_abs_ref[:]  # (32, 128): abs col | slot bit 20; -1 OOB
+    X_enc = x_abs_ref[:]  # (TH, 128): abs col | slot bit 20; -1 OOB
     oob = X_enc < 0
     use_b = (X_enc >> 20) & 1
     X = X_enc & ((1 << 20) - 1)
@@ -276,22 +374,15 @@ def _tail_kernel(
     grp = dxr // 128
     off = dxr % 128
 
-    n_rowgrp = RB // 8
     n_colgrp = CB // 128
 
-    def row_align(Rqg, gc):
-        """step (a): aligned[s, l] = d[Rqg[s, l], gc-col-group l]"""
-        hsel = Rqg // 8
-        acc = jnp.zeros((8, 128), jnp.float32)
-        for h in range(n_rowgrp):
-            tab = d[h * 8 : (h + 1) * 8, gc * 128 : (gc + 1) * 128]
-            idx = jnp.clip(Rqg - h * 8, 0, 7)
-            got = jnp.take_along_axis(tab, idx, axis=0)
-            acc = jnp.where(hsel == h, got, acc)
-        return acc
-
+    nq = TH // 8
     out_rows = []
-    for q in range(4):  # 8-row sub-blocks of the 32 output rows
+    for q in range(nq):  # 8-row sub-blocks of the TH output rows
+        # first source row this sub-block actually references: the
+        # row-group loop walks QH 8-row windows from this (8-aligned)
+        # base instead of the whole band
+        qb = pl.multiple_of(qbase_ref[tile * nq + q], 8)
         sl = slice(q * 8, (q + 1) * 8)
         offq = off[sl, :]
         grpq = grp[sl, :]
@@ -299,14 +390,29 @@ def _tail_kernel(
         outq = jnp.zeros((8, 128), jnp.float32)
         for gc in range(n_colgrp):
             csl = slice(gc * 128, (gc + 1) * 128)
-            al_a = row_align(R_a[sl, csl], gc)
-            al_b = row_align(R_b[sl, csl], gc)
+            ha = R_a[sl, csl] - qb
+            hb = R_b[sl, csl] - qb
+            hs_a = ha // 8
+            hs_b = hb // 8
+            al_a = jnp.zeros((8, 128), jnp.float32)
+            al_b = jnp.zeros((8, 128), jnp.float32)
+            for h in range(plan.QH):
+                # one table load serves both collision slots
+                tab = dil[pl.ds(qb + h * 8, 8), csl]
+                ia = jnp.clip(ha - h * 8, 0, 7)
+                al_a = jnp.where(
+                    hs_a == h, jnp.take_along_axis(tab, ia, axis=0), al_a
+                )
+                ib = jnp.clip(hb - h * 8, 0, 7)
+                al_b = jnp.where(
+                    hs_b == h, jnp.take_along_axis(tab, ib, axis=0), al_b
+                )
             got_a = jnp.take_along_axis(al_a, offq, axis=1)
             got_b = jnp.take_along_axis(al_b, offq, axis=1)
             got = jnp.where(useq == 1, got_b, got_a)
             outq = jnp.where(grpq == gc, got, outq)
         out_rows.append(outq)
-    disp = jnp.concatenate(out_rows, axis=0)  # (32, 128)
+    disp = jnp.concatenate(out_rows, axis=0)  # (TH, 128)
     disp = jnp.where(oob, 0.0, disp)
     disp_out_ref[:] = disp
 
@@ -329,7 +435,7 @@ def _tail_kernel(
         tab_lo = lut[:, ch * 256 : ch * 256 + 128]
         tab_hi = lut[:, ch * 256 + 128 : ch * 256 + 256]
         chunks = []
-        for q in range(4):
+        for q in range(TH // 8):
             idx = u8[q * 8 : (q + 1) * 8, :] & 127
             hi = u8[q * 8 : (q + 1) * 8, :] >= 128
             lo_v = jnp.take_along_axis(tab_lo, idx, axis=1)
@@ -498,11 +604,13 @@ def pallas_tail(
         band_dtype = jnp.float32
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(plan.GR, plan.GC),
         in_specs=[
             pl.BlockSpec(
-                (32, 128), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
+                (plan.TH, 128),
+                lambda i, j, *_: (i, j),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lut, full
             pl.BlockSpec(memory_space=pl.ANY),  # disp_pad
@@ -511,15 +619,18 @@ def pallas_tail(
         ],
         out_specs=[
             pl.BlockSpec(
-                (32, 128), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
+                (plan.TH, 128),
+                lambda i, j, *_: (i, j),
+                memory_space=pltpu.VMEM,
             )
         ]
         * 5,
         scratch_shapes=[
-            pltpu.VMEM((plan.RB, plan.CB), band_dtype),
-            pltpu.VMEM((32, plan.CB), jnp.int16),
-            pltpu.VMEM((32, plan.CB), jnp.int16),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, plan.RB, plan.CB), band_dtype),
+            pltpu.VMEM((2, plan.TH, plan.CB), jnp.int16),
+            pltpu.VMEM((2, plan.TH, plan.CB), jnp.int16),
+            pltpu.VMEM((plan.RB, plan.CB), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
 
@@ -539,6 +650,7 @@ def pallas_tail(
     )(
         jnp.asarray(plan.row0),
         jnp.asarray(plan.col0),
+        jnp.asarray(plan.qbase),
         jnp.asarray(plan.x_abs),
         jnp.asarray(_make_lut()),
         disp_pad,

@@ -60,12 +60,16 @@ def scatter_disp_packed(
 
     ``method`` selects the strategy (identical results):
 
-    - "max": one scatter-max of the packed values.  XLA serializes
-      duplicate-capable scatters on TPU (~8 ns/event).
+    - "max": one scatter-max of the packed values.  Duplicate-capable
+      scatter-max on TPU is a serialized read-modify-write (~15 ns/event).
     - "sorted": sort by (pixel, packed), keep only each pixel's winner
       (the max-packed lane = the max-priority event), then a
-      unique-indices scatter-set, which XLA parallelizes.  ~30% faster
-      on TPU at 28k events despite the extra sort.
+      unique-indices scatter-set (a serialized write, ~4.5 ns/event, with
+      no read-modify-write) -- ~6x faster than "max" at 28k events
+      despite the extra sort, and correct by construction.  The sort is
+      load-bearing for determinism: the Pallas event path scatters in
+      y-sorted (not arrival) order, so an order-relying duplicate set
+      would pick the wrong winner.
     """
     n = ys.shape[0]
     out_h, out_w = pad_shape if pad_shape is not None else (height, width)
