@@ -185,6 +185,41 @@ def main():
         rtt.append(time.perf_counter() - t1)
     rtt_p50_ms = float(np.percentile(rtt, 50) * 1e3)
 
+    # Structure-matched dispatch baseline: a trivial program taking the
+    # SAME argument structure as the ring dispatch (K packet slot pairs +
+    # the (3, K) host meta array + the LUT tables) and returning one
+    # scalar.  Through a tunneled device, marshalling that many buffer
+    # handles and shipping the meta costs several ms that a co-located
+    # host would not pay; p50 minus this baseline isolates the latency
+    # the framework itself adds (device compute + its real dispatch).
+    from xmaps_tpu.io.prefetch import RING_SLOTS_PER_FRAME as _K
+
+    cap = engine.cfg.event_capacity // 2
+    null_xys = tuple(
+        jax.device_put(np.zeros(cap, np.uint32)) for _ in range(_K)
+    )
+    null_tps = tuple(
+        jax.device_put(np.zeros(cap, np.int32)) for _ in range(_K)
+    )
+
+    import jax.numpy as jnp
+
+    @jax.jit
+    def null_dispatch(xys, tps, meta, tables):
+        acc = meta.sum()
+        for a, b in zip(xys, tps):
+            acc = acc + a[0].astype(jnp.int32) + b[0]
+        return acc + tables.x_map[0, 0].astype(jnp.int32)
+
+    meta0 = np.zeros((3, _K), np.int32)
+    int(null_dispatch(null_xys, null_tps, meta0, engine.tables))
+    base = []
+    for _ in range(40):
+        t1 = time.perf_counter()
+        int(null_dispatch(null_xys, null_tps, meta0, engine.tables))
+        base.append(time.perf_counter() - t1)
+    dispatch_p50_ms = float(np.percentile(base, 50) * 1e3)
+
     # Display-path cost over the tunnel (bandwidth-bound, environment
     # overhead): first fetch of a freshly computed 2.7 MB BGR frame
     # (jax caches the host copy, so only the first fetch is honest).
@@ -208,6 +243,8 @@ def main():
         "extra": {
             "p95_ms": round(p95, 3),
             "p50_ms_rtt_adjusted": round(p50 - rtt_p50_ms, 3),
+            "p50_framework_ms": round(p50 - dispatch_p50_ms, 3),
+            "dispatch_baseline_p50_ms": round(dispatch_p50_ms, 3),
             "p50_segmented_staging_ms": round(
                 float(np.percentile(np.asarray(lat_compact) * 1e3, 50)), 3
             ),

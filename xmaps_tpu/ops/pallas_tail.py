@@ -6,7 +6,7 @@ XLA's general gather on TPU costs ~10ns/element (~9.5 ms for the 921k-pixel
 remap); this kernel exploits the static smoothness of the rectification
 maps instead:
 
-- For each (TH, 128) output tile (TH=64 default; taller tiles amortize
+- For each (TH, 128) output tile (TH=128 default; taller tiles amortize
   per-step DMA/semaphore/bookkeeping costs), the source pixels live in a
   small axis-aligned band of the rectified disparity map (the maps are
   near-affine: ~1.03 px/row vertically, ~2.44 px/col horizontally, plus a
@@ -104,7 +104,7 @@ def build_tail_plan(
     p03: float,
     z_near: float,
     z_far: float,
-    tile: tuple[int, int] = (64, 128),
+    tile: tuple[int, int] = (128, 128),
 ) -> TailPlan:
     """Precompute band bounds and the two-pass gather tables.
 
