@@ -49,6 +49,14 @@ struct Decoder {
   int32_t cur_y = 0;
   int32_t vect_base_x = 0;
   int32_t vect_pol = 0;
+  // Partially-emitted vector word: when the caller's capacity fills
+  // mid-vector, the un-emitted set bits wait here and are drained at the
+  // start of the next call (time/row state cannot change in between
+  // because no further words are consumed).  vect_base_x stays
+  // un-advanced until the word completes; pend_bits remembers the
+  // word's width (12 or 8) for that final advance.
+  uint16_t pend_mask = 0;
+  int32_t pend_bits = 0;
 
   // buffered IO
   static constexpr size_t BUF_CAP = 1 << 20;
@@ -195,6 +203,23 @@ int64_t evt_decode(void* h, int64_t max_events, uint16_t* xs, uint16_t* ys,
   }
 
   if (d->fmt == FMT_EVT3) {
+    // Drain a vector word left partially emitted by the previous call.
+    if (d->pend_mask) {
+      int64_t th = (d->time_high_ovf << 12) + d->time_high;
+      int64_t t = (th << 12) | d->time_low;
+      for (int i = 0; i < d->pend_bits; i++) {
+        if (!(d->pend_mask & (1u << i))) continue;
+        if (n >= max_events) return n;  // still not done; keep the rest
+        xs[n] = static_cast<uint16_t>(d->vect_base_x + i);
+        ys[n] = static_cast<uint16_t>(d->cur_y);
+        ps[n] = static_cast<int16_t>(d->vect_pol);
+        ts[n] = t;
+        n++;
+        d->pend_mask = static_cast<uint16_t>(d->pend_mask & ~(1u << i));
+      }
+      d->vect_base_x += d->pend_bits;
+      d->pend_bits = 0;
+    }
     while (n < max_events) {
       if (d->buf_len - d->buf_pos < 2) {
         if (!d->refill() || d->buf_len - d->buf_pos < 2) break;
@@ -227,25 +252,25 @@ int64_t evt_decode(void* h, int64_t max_events, uint16_t* xs, uint16_t* ys,
           int bits = (type == 0x4) ? 12 : 8;
           uint16_t mask = w & ((1u << bits) - 1);
           if (d->time_high >= 0) {
-            int need = __builtin_popcount(mask);
-            if (n + need > max_events && need <= max_events) {
-              // Not enough room for the whole vector in this call:
-              // un-consume the word (the bytes are still in buf) so the
-              // next evt_decode re-reads it with identical row state, and
-              // leave vect_base_x un-advanced.
-              d->buf_pos -= 2;
-              return n;
-            }
             int64_t th = (d->time_high_ovf << 12) + d->time_high;
             int64_t t = (th << 12) | d->time_low;
-            for (int i = 0; i < bits && n < max_events; i++) {
-              if (mask & (1u << i)) {
-                xs[n] = static_cast<uint16_t>(d->vect_base_x + i);
-                ys[n] = static_cast<uint16_t>(d->cur_y);
-                ps[n] = static_cast<int16_t>(d->vect_pol);
-                ts[n] = t;
-                n++;
+            for (int i = 0; i < bits; i++) {
+              if (!(mask & (1u << i))) continue;
+              if (n >= max_events) {
+                // Capacity filled mid-vector: park the un-emitted bits
+                // (the drain at the top of the next call finishes the
+                // word; works for ANY capacity, including capacities
+                // smaller than the word's popcount).
+                d->pend_mask =
+                    static_cast<uint16_t>(mask & ~((1u << i) - 1));
+                d->pend_bits = bits;
+                return n;
               }
+              xs[n] = static_cast<uint16_t>(d->vect_base_x + i);
+              ys[n] = static_cast<uint16_t>(d->cur_y);
+              ps[n] = static_cast<int16_t>(d->vect_pol);
+              ts[n] = t;
+              n++;
             }
           }
           d->vect_base_x += bits;
