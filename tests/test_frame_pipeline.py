@@ -166,3 +166,38 @@ def test_camera_view_with_pallas_colorize_matches_xla(rig):
     np.testing.assert_array_equal(
         np.asarray(out.frame_bgr), np.asarray(ref.frame_bgr)
     )
+
+
+def test_process_frames_group_matches_per_frame():
+    """The group-dispatch API (multi-camera / offline batch) must match
+    process_frame element-wise, across both staging modes."""
+    from xmaps_tpu.models.depth_pipeline import XMapsDepthEngine
+
+    calib = make_synthetic_calibration()
+    engine = XMapsDepthEngine.from_calibration(
+        calib, event_capacity=2048, z_near=0.2, z_far=1.2,
+        use_pallas_tail=False, use_pallas_events=False,
+    )
+    rng = np.random.default_rng(5)
+    frames = [
+        simulate_plane_events(
+            calib, depth_m=0.4 + 0.1 * i, subsample=0.4, jitter_us=2.0,
+            rng=rng,
+        )
+        for i in range(3)
+    ]
+    group = engine.process_frames(frames)
+    assert len(group) == 3
+    for ev, got in zip(frames, group):
+        ref = engine.process_frame(ev)
+        np.testing.assert_array_equal(
+            np.asarray(got.depth), np.asarray(ref.depth)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.frame_bgr), np.asarray(ref.frame_bgr)
+        )
+        assert int(got.num_inliers) == int(ref.num_inliers)
+    # group function is cached per (size, presort mode)
+    assert len(engine._group_cache) == 1
+    engine.process_frames(frames[:2])
+    assert len(engine._group_cache) == 2

@@ -325,6 +325,70 @@ class XMapsDepthEngine:
         """events: structured array with x/y/t/p (one projector frame)."""
         return self._frame_fn(self.make_batch(events), self.tables)
 
+    def process_frames(self, frames: list) -> list:
+        """Dispatch many independent frames as ONE device program.
+
+        The multi-camera / offline-batch regime: frames are independent
+        (SURVEY §2.3), so a group program lets XLA schedule the F frame
+        pipelines back to back -- dispatch overhead amortizes and
+        per-frame device time approaches the compute floor (bench.py
+        measures exactly this regime).  Host staging pre-sorts each frame
+        by raw y when the Pallas event path is active, so the device
+        skips its banding sort; results are bit-identical to
+        :meth:`process_frame` on each element.
+
+        ``frames``: list of structured x/y/t/p arrays.  The group program
+        is traced once per distinct group length and cached.
+
+        Returns a list of FrameResult, one per input frame.
+        """
+        if not frames:
+            return []
+        presort = (
+            self.event_plan is not None and self.cfg.frame_filter == "none"
+        )
+        if presort:
+            staged = [
+                EventBatch.from_structured_sorted(
+                    ev, self.cfg.event_capacity
+                )
+                for ev in frames
+            ]
+        else:
+            staged = [
+                (EventBatch.from_structured(ev, self.cfg.event_capacity), None)
+                for ev in frames
+            ]
+        fn = self._group_fn(len(frames), presort)
+        return fn(staged, self.tables)
+
+    def _group_fn(self, size: int, presort: bool):
+        import functools
+
+        import jax
+
+        from xmaps_tpu.ops.frame_pipeline import depth_frame
+
+        key = (size, presort)
+        cache = self.__dict__.setdefault("_group_cache", {})
+        if key not in cache:
+
+            def group(staged, tables, cfg):
+                return [
+                    depth_frame(
+                        b,
+                        tables,
+                        cfg,
+                        tail_plan=self.tail_plan,
+                        event_plan=self.event_plan,
+                        presort_priority=prio,
+                    )
+                    for b, prio in staged
+                ]
+
+            cache[key] = jax.jit(functools.partial(group, cfg=self.cfg))
+        return cache[key]
+
     def process_batch_device(self, batch: EventBatch) -> FrameResult:
         return self._frame_fn(batch, self.tables)
 
@@ -403,4 +467,5 @@ class XMapsDepthEngine:
     def set_frame_filter(self, name: str):
         """Swap the frame dedup filter (recompiles once per new filter)."""
         self.cfg = self.cfg.replace(frame_filter=name)
+        self.__dict__.pop("_group_cache", None)
         self._build_frame_fns()
