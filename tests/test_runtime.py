@@ -211,3 +211,59 @@ def test_ring_prestage_matches_segmented(raw_file, calib):
     assert len(shown_ring) == len(shown_seg) >= len(depths) - 2
     for a, b in zip(shown_ring, shown_seg):
         np.testing.assert_array_equal(a, b)
+
+
+def test_frame_wanted_gates_display_fetch(raw_file, calib):
+    """A sink that wants every 2nd frame must receive exactly those
+    frames; skipped frames are still computed (stats counter) but their
+    image is never fetched."""
+    path, depths, events = raw_file
+    proc, shown = _make_processor(calib)
+    wanted_calls = []
+
+    def every_other():
+        i = len(wanted_calls)
+        wanted_calls.append(i)
+        return i % 2 == 0
+
+    proc._pipe.frame_wanted = every_other
+    for packet in FileEventsIterator(path, delta_t=1e6 / FPS / 4):
+        proc.process_events(packet)
+    proc._pipe.flush()
+
+    assert len(wanted_calls) >= len(depths) - 2
+    assert len(shown) == (len(wanted_calls) + 1) // 2
+    skipped = proc.stats_printer._global.counters[
+        "frames computed (display skipped)"
+    ]
+    assert skipped == len(wanted_calls) - len(shown)
+
+
+def test_prestage_skipped_while_behind(raw_file, calib):
+    """While the watchdog is dropping frames, packet bytes must not be
+    pre-staged (the ring numbering advances without staging); once caught
+    up, staging resumes and frames still come out."""
+    path, depths, events = raw_file
+    proc, shown = _make_processor(calib)
+    proc.params.no_frame_dropping = False
+    # force "behind" for the first half of the stream
+    behind_calls = {"n": 0}
+    wd = proc._pipe.watchdog
+    orig = wd.is_processing_behind
+
+    def fake_behind(evs):
+        orig(evs)  # keep internal state ticking
+        behind_calls["n"] += 1
+        return behind_calls["n"] <= 10
+    wd.is_processing_behind = fake_behind
+
+    staged_before = proc._pipe.ring.packets_staged
+    for packet in FileEventsIterator(path, delta_t=1e6 / FPS / 4):
+        proc.process_events(packet)
+    proc._pipe.flush()
+
+    ring = proc._pipe.ring
+    # behind packets were skipped, not staged
+    assert ring.packets_staged - staged_before < behind_calls["n"]
+    # the global numbering stayed consistent: later frames still decode
+    assert len(shown) >= 1

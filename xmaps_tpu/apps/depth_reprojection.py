@@ -39,6 +39,9 @@ def project_events(bias, input, capture, params, delta_t, ev_processor):
             projector_height=params.projector_height,
             projector_fps=params.projector_fps,
             calib_yaml=params.calib,
+            # live semantics: stream until the user quits (Q / SIGINT),
+            # like a physical camera -- not one pass of the synthetic loop
+            duration_s=float("inf"),
         )
         mv_iterator = LiveEventsIterator(session, delta_t=delta_t)
     cam_height_reader, cam_width_reader = mv_iterator.get_size()

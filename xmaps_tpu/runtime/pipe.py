@@ -48,6 +48,15 @@ class DepthReprojectionPipe:
     #: frame on ring overrun.
     prestage: bool = True
 
+    #: Optional display-demand probe, called once per finished frame.
+    #: When it returns False the full-resolution frame is never fetched
+    #: from the device -- only the 4-byte inlier count (stats +
+    #: backpressure).  Sinks that show every Nth frame (FileSinkWindow)
+    #: or none at all would otherwise pay the device->host image copy for
+    #: frames nobody looks at, which on a slow link is the difference
+    #: between keeping up with the camera and drop-spiraling.
+    frame_wanted: Optional[Callable[[], bool]] = None
+
     trigger_finder: RobustTriggerFinder = field(init=False)
     watchdog: TimingWatchdog = field(init=False)
     act_filter: ActivityNoiseFilter = field(init=False)
@@ -94,18 +103,28 @@ class DepthReprojectionPipe:
     # -- per packet -------------------------------------------------------
 
     def process_events(self, evs: np.ndarray):
-        if (
+        behind = (
             self.watchdog.is_processing_behind(evs)
             and self.params.should_drop_frames
-        ):
+        )
+        if behind:
             self.trigger_finder.drop_frame()
 
         with self.stats_printer.measure_time("act+pol filter"):
             evs = self.act_filter.process(evs)
 
         if self.ring is not None and len(evs):
-            with self.stats_printer.measure_time("prestage packet"):
-                self.ring.stage_packets(evs)
+            if behind:
+                # The watchdog is dropping frames to catch up; shipping a
+                # doomed frame's bytes to the device would only deepen the
+                # lag (on a slow host->device link the per-packet copy is
+                # the lag).  Keep the ring's numbering in sync and let any
+                # surviving frame that spans this range use the segmented
+                # fallback.
+                self.ring.skip_packets(len(evs))
+            else:
+                with self.stats_printer.measure_time("prestage packet"):
+                    self.ring.stage_packets(evs)
 
         self.trigger_finder.process_events(evs)
 
@@ -170,6 +189,16 @@ class DepthReprojectionPipe:
 
     def _flush_pending(self):
         if self._pending is None:
+            return
+        if self.frame_wanted is not None and not self.frame_wanted():
+            # display skipped: sync on the scalar only (completion proof
+            # and staging-slot backpressure; the image stays on device)
+            with self.stats_printer.measure_time("fetch stats"):
+                self.stats_printer.add_metric(
+                    "frame inliers", int(self._pending.num_inliers)
+                )
+            self._pending = None
+            self.stats_printer.count("frames computed (display skipped)")
             return
         with self.stats_printer.measure_time("fetch frame"):
             frame = np.asarray(jax.device_get(self._pending.frame_bgr))

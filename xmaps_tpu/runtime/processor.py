@@ -35,7 +35,11 @@ class FakeWindow:
 
 
 class FileSinkWindow:
-    """Writes every Nth frame as a PNG to a directory."""
+    """Writes every Nth frame as a PNG to a directory.
+
+    Declares demand per frame via ``wants_frame`` so the pipe never
+    fetches the device image for the N-1 frames it would discard.
+    """
 
     def __init__(self, out_dir: str, every: int = 30):
         self.out_dir = out_dir
@@ -46,15 +50,17 @@ class FileSinkWindow:
     def should_close(self) -> bool:
         return False
 
-    def show_async(self, img: np.ndarray) -> None:
-        if self._i % self.every == 0:
-            from PIL import Image
+    def wants_frame(self, i: int) -> bool:
+        return i % self.every == 0
 
-            # frames are BGR (reference window mode); PNG wants RGB
-            Image.fromarray(img[..., ::-1]).save(
-                os.path.join(self.out_dir, f"depth_{self._i:06d}.png")
-            )
-        self._i += 1
+    def show_async(self, img: np.ndarray) -> None:
+        from PIL import Image
+
+        # frames are BGR (reference window mode); PNG wants RGB
+        Image.fromarray(img[..., ::-1]).save(
+            os.path.join(self.out_dir, f"depth_{self._i:06d}.png")
+        )
+        self._i += self.every
 
     def set_keyboard_callback(self, cb) -> None:
         pass
@@ -112,11 +118,21 @@ class DepthReprojectionProcessor:
         self._window.show_async(depth_map)
         self.stats_printer.count("frames shown")
 
+    def _frame_wanted(self) -> bool:
+        """Per-frame display demand (called once per finished frame by the
+        pipe): windows without a wants_frame method take every frame."""
+        i = self._frame_idx
+        self._frame_idx += 1
+        probe = getattr(self._window, "wants_frame", None)
+        return True if probe is None else bool(probe(i))
+
     def __enter__(self):
+        self._frame_idx = 0
         self._pipe = DepthReprojectionPipe(
             params=self.params,
             stats_printer=self.stats_printer,
             frame_callback=self.show_async,
+            frame_wanted=self._frame_wanted,
             low_latency=self.low_latency,
         )
         self._window = make_window(self.window_kind, self.params, self.out_dir)
