@@ -45,7 +45,12 @@ __all__ = [
     "BLOCK",
 ]
 
-BLOCK = 1024  # events per grid step (8 sublanes x 128 lanes)
+#: events per grid step (8 sublanes x 128 lanes).  Swept on v5e at 28k
+#: events/frame: 1024 -> 387 us/frame, 2048 -> 450, 4096 -> 591 -- larger
+#: blocks span more table row groups (y-spread grows with block size),
+#: which costs more than the saved per-step overhead.  The kernel is
+#: shape-generic, so retuning for other sensors is a one-line change.
+BLOCK = 1024
 
 #: VMEM budget for the two resident tables (the core has ~16 MB; leave
 #: room for event blocks, outputs and double buffering).
@@ -101,7 +106,7 @@ def _banded_gather(table_ref, rows, lanes, n_colgroups, acc0):
     """acc[i,j] = table[rows[i,j], lanes[i,j]] for all (i,j) whose row falls
     in [min(rows)//8*8, max(rows)//8*8+8); other lanes keep acc0.
 
-    rows/lanes: (8, 128) i32, lanes already in-range of the table width.
+    rows/lanes: (BLOCK//128, 128) i32, lanes in-range of the table width.
     Inner loop cost: 4 vector ops per (row, column-group) pair -- the
     (row, colgroup) match is folded into one key compare, and the
     in-group lane indices are hoisted out of the row loops.
@@ -121,7 +126,7 @@ def _banded_gather(table_ref, rows, lanes, n_colgroups, acc0):
             seg_row = tab[s : s + 1, :]
             for cg in range(n_colgroups):
                 seg = jnp.broadcast_to(
-                    seg_row[:, cg * 128 : (cg + 1) * 128], (8, 128)
+                    seg_row[:, cg * 128 : (cg + 1) * 128], acc0.shape
                 )
                 v = jnp.take_along_axis(seg, l_cg, axis=1)
                 sel = key == (row0 + s) * n_colgroups + cg
@@ -156,7 +161,7 @@ def _event_kernel(
     yc = jnp.clip(y, 0, cam_h - 1)
     xc = jnp.clip(x, 0, cam_w - 1)
     packed = _banded_gather(
-        cam_lut_ref, yc, xc, cam_colgroups, jnp.zeros((8, 128), jnp.int32)
+        cam_lut_ref, yc, xc, cam_colgroups, jnp.zeros(x.shape, jnp.int32)
     )
     xr = (packed << 16) >> 16
     yr = packed >> 16
@@ -167,7 +172,7 @@ def _event_kernel(
     yg = jnp.clip(yr, 0, xmap_h - 1)
     tg = jnp.clip(t, 0, xmap_w - 1)
     xproj_ref[:] = _banded_gather(
-        x_map_ref, yg, tg, xmap_colgroups, jnp.zeros((8, 128), jnp.int32)
+        x_map_ref, yg, tg, xmap_colgroups, jnp.zeros(yg.shape, jnp.int32)
     )
 
 
@@ -186,6 +191,7 @@ def rectify_and_lookup(
     assert n % BLOCK == 0, f"capacity {n} not a multiple of {BLOCK}"
     grid = n // BLOCK
     rows = n // 128
+    block_rows = BLOCK // 128
 
     def blk(a):
         return a.reshape(rows, 128)
@@ -199,7 +205,9 @@ def rectify_and_lookup(
         cam_colgroups=plan.cam_lut.shape[1] // 128,
         xmap_colgroups=plan.x_map.shape[1] // 128,
     )
-    ev_spec = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ev_spec = pl.BlockSpec(
+        (block_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
     out_shape = jax.ShapeDtypeStruct((rows, 128), jnp.int32)
     xr, yr, xproj = pl.pallas_call(
         kernel,
