@@ -103,9 +103,15 @@ def main():
     tp = engine.tail_plan
     ep = engine.event_plan
 
+    # display_only matches the reference's per-frame output surface: its
+    # hot path emits one colorized frame per frame (disp_to_depth.py);
+    # depth/disparity maps are intermediates.  The full-FrameResult
+    # program (process_frame API) additionally stores both f32 maps and
+    # costs ~30 us more per frame.
     fn = jax.jit(
         lambda b, prio: depth_frame(
-            b, tables, cfg, tail_plan=tp, event_plan=ep, presort_priority=prio
+            b, tables, cfg, tail_plan=tp, event_plan=ep,
+            presort_priority=prio, display_only=True,
         )
     )
 
@@ -143,6 +149,7 @@ def main():
                 tail_plan=tp,
                 event_plan=ep,
                 presort_priority=prio,
+                display_only=True,
             )
             for b, prio in bs
         ]

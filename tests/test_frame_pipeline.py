@@ -201,3 +201,38 @@ def test_process_frames_group_matches_per_frame():
     assert len(engine._group_cache) == 1
     engine.process_frames(frames[:2])
     assert len(engine._group_cache) == 2
+
+
+def test_display_only_matches_full(rig):
+    """display_only must produce the identical colorized frame and inlier
+    count with depth/disp_map absent, across both views and both tail
+    implementations."""
+    calib, maps, x_map, cfg, tables = rig
+    from xmaps_tpu.ops.pallas_tail import build_cam_tail_plan, build_tail_plan
+
+    events = simulate_plane_events(calib, depth_m=0.6, jitter_us=2.0)
+    batch = EventBatch.from_structured(events, cfg.event_capacity)
+    proj_plan = build_tail_plan(
+        maps.disp_proj_mapx_i16, maps.disp_proj_mapy_i16,
+        calib.rect_image_height, calib.rect_image_width,
+        p03=float(maps.P2[0, 3]), z_near=cfg.z_near, z_far=cfg.z_far,
+    )
+    cam_plan = build_cam_tail_plan(
+        calib.camera_height, calib.camera_width,
+        p03=float(maps.P2[0, 3]), z_near=cfg.z_near, z_far=cfg.z_far,
+    )
+    for cam_view, plan in ((False, proj_plan), (True, cam_plan)):
+        c = cfg.replace(camera_perspective=cam_view)
+        for tail in (None, plan):
+            full = depth_frame(
+                batch, tables, c, tail_plan=tail, pallas_interpret=True
+            )
+            slim = depth_frame(
+                batch, tables, c, tail_plan=tail, pallas_interpret=True,
+                display_only=True,
+            )
+            assert slim.depth is None and slim.disp_map is None
+            np.testing.assert_array_equal(
+                np.asarray(slim.frame_bgr), np.asarray(full.frame_bgr)
+            )
+            assert int(slim.num_inliers) == int(full.num_inliers)

@@ -83,6 +83,11 @@ class XMapsDepthEngine:
             event_plan=self.event_plan,
         )
 
+        # The streaming programs run display-only: the runtime's frame
+        # callback consumes the colorized frame + the inlier count, and
+        # the reference's per-frame path likewise emits only the frame
+        # (depth/disparity are intermediates, disp_to_depth.py).  The
+        # fused kernels then skip two full-resolution f32 output stores.
         def staged_frame(staged, tables, cfg):
             return depth_frame(
                 unpack_staged(staged),
@@ -90,6 +95,7 @@ class XMapsDepthEngine:
                 cfg,
                 tail_plan=self.tail_plan,
                 event_plan=self.event_plan,
+                display_only=True,
             )
 
         self._staged_fn = jax.jit(functools.partial(staged_frame, cfg=self.cfg))
@@ -102,6 +108,7 @@ class XMapsDepthEngine:
                 cfg,
                 tail_plan=self.tail_plan,
                 event_plan=self.event_plan,
+                display_only=True,
             )
 
         self._ring_fn = jax.jit(functools.partial(ring_frame, cfg=self.cfg))
@@ -124,6 +131,7 @@ class XMapsDepthEngine:
                     tail_plan=self.tail_plan,
                     event_plan=self.event_plan,
                     t_scaled=ts,
+                    display_only=True,
                 )
 
             self._staged_compact_fn = jax.jit(

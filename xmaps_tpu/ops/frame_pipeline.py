@@ -80,6 +80,7 @@ def depth_frame(
     pallas_interpret: bool = False,
     t_scaled=None,
     presort_priority=None,
+    display_only: bool = False,
 ) -> FrameResult:
     """One projector frame of events -> colorized depth map.
 
@@ -101,6 +102,11 @@ def depth_frame(
     EventBatch.from_structured_sorted) marks the batch as already y-sorted
     on the host, skipping the device sort in the Pallas event path --
     bit-identical results, ~36 us less device time per frame at 28k.
+    ``display_only`` returns FrameResult with depth and disp_map as None
+    -- the reference's per-frame output surface (disp_to_depth.py emits
+    only the colorized frame; depth/disparity are intermediates).  The
+    fused kernels then skip two full-resolution f32 output stores, and
+    the XLA paths dead-code-eliminate the unused math.
     """
     from xmaps_tpu.ops.disparity import (
         compute_event_disparity_pallas,
@@ -192,6 +198,7 @@ def depth_frame(
                 tail_plan,
                 interpret=pallas_interpret,
                 pack=PACK,
+                emit_aux=not display_only,
             )
             return FrameResult(
                 frame_bgr=frame,
@@ -235,6 +242,7 @@ def depth_frame(
                 tail_plan,
                 interpret=pallas_interpret,
                 pack=PACK,
+                emit_aux=not display_only,
             )
             return FrameResult(
                 frame_bgr=frame,
@@ -264,8 +272,8 @@ def depth_frame(
     frame = colorize_turbo(norm_u8)
     return FrameResult(
         frame_bgr=frame,
-        depth=depth,
-        disp_map=disp_map,
+        depth=None if display_only else depth,
+        disp_map=None if display_only else disp_map,
         num_inliers=jnp.sum(res.inlier).astype(jnp.int32),
     )
 

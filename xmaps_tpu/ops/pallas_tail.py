@@ -274,6 +274,70 @@ def _tail_kernel(
     plan: TailPlan,
     pack: int = 0,
 ):
+    """Full-output variant: emits disparity + metric depth + BGR."""
+    _tail_core(
+        row0_ref, col0_ref, qbase_ref, x_abs_ref, lut_ref, disp_ref,
+        yhat_a_ref, yhat_b_ref, disp_out_ref, depth_ref, b_ref, g_ref,
+        r_ref, band, yh_a, yh_b, dil, sems, plan=plan, pack=pack,
+    )
+
+
+def _tail_kernel_display(
+    row0_ref,
+    col0_ref,
+    qbase_ref,
+    x_abs_ref,
+    lut_ref,
+    disp_ref,
+    yhat_a_ref,
+    yhat_b_ref,
+    b_ref,
+    g_ref,
+    r_ref,
+    band,
+    yh_a,
+    yh_b,
+    dil,
+    sems,
+    *,
+    plan: TailPlan,
+    pack: int = 0,
+):
+    """Display-only variant: emits just the BGR planes -- the reference's
+    per-frame output (disp_to_depth.py computes depth/disparity as
+    intermediates and hands the window a colorized frame).  Skips two
+    full-resolution f32 output stores and their downstream layout
+    copies."""
+    _tail_core(
+        row0_ref, col0_ref, qbase_ref, x_abs_ref, lut_ref, disp_ref,
+        yhat_a_ref, yhat_b_ref, None, None, b_ref, g_ref,
+        r_ref, band, yh_a, yh_b, dil, sems, plan=plan, pack=pack,
+    )
+
+
+def _tail_core(
+    row0_ref,
+    col0_ref,
+    qbase_ref,
+    x_abs_ref,
+    lut_ref,
+    disp_ref,
+    yhat_a_ref,
+    yhat_b_ref,
+    disp_out_ref,
+    depth_ref,
+    b_ref,
+    g_ref,
+    r_ref,
+    band,
+    yh_a,
+    yh_b,
+    dil,
+    sems,
+    *,
+    plan: TailPlan,
+    pack: int = 0,
+):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -414,13 +478,15 @@ def _tail_kernel(
         out_rows.append(outq)
     disp = jnp.concatenate(out_rows, axis=0)  # (TH, 128)
     disp = jnp.where(oob, 0.0, disp)
-    disp_out_ref[:] = disp
+    if disp_out_ref is not None:
+        disp_out_ref[:] = disp
 
     # --- depth + normalize + colorize (reference disp_to_depth.py:7-63) ----
     safe = jnp.where(disp == 0.0, 1.0, disp)
     depth = jnp.maximum(jnp.float32(plan.p03) / safe, 1e-9)
     depth = jnp.where(disp == 0.0, 0.0, depth)
-    depth_ref[:] = depth
+    if depth_ref is not None:
+        depth_ref[:] = depth
 
     zn = jnp.float32(plan.z_near)
     zf = jnp.float32(plan.z_far)
@@ -487,11 +553,46 @@ def _colorize_kernel(
     plan: CamTailPlan,
     pack: int,
 ):
+    _colorize_core(
+        lut_ref, map_ref, disp_out_ref, depth_ref, b_ref, g_ref, r_ref,
+        plan=plan, pack=pack,
+    )
+
+
+def _colorize_kernel_display(
+    lut_ref,
+    map_ref,
+    b_ref,
+    g_ref,
+    r_ref,
+    *,
+    plan: CamTailPlan,
+    pack: int,
+):
+    _colorize_core(
+        lut_ref, map_ref, None, None, b_ref, g_ref, r_ref,
+        plan=plan, pack=pack,
+    )
+
+
+def _colorize_core(
+    lut_ref,
+    map_ref,
+    disp_out_ref,
+    depth_ref,
+    b_ref,
+    g_ref,
+    r_ref,
+    *,
+    plan: CamTailPlan,
+    pack: int,
+):
     d = map_ref[:]
     if pack:
         # packed (priority*PACK + disp) scatter output; unpack in-band
         d = (d & (pack - 1)).astype(jnp.int32).astype(jnp.float32)
-    disp_out_ref[:] = d
+    if disp_out_ref is not None:
+        disp_out_ref[:] = d
 
     # identical formulas to _tail_kernel's epilogue (and the XLA ops in
     # ops.image_tail): depth = P[0,3]/disp with 0-preserve, C-truncation
@@ -499,7 +600,8 @@ def _colorize_kernel(
     safe = jnp.where(d == 0.0, 1.0, d)
     depth = jnp.maximum(jnp.float32(plan.p03) / safe, 1e-9)
     depth = jnp.where(d == 0.0, 0.0, depth)
-    depth_ref[:] = depth
+    if depth_ref is not None:
+        depth_ref[:] = depth
 
     zn = jnp.float32(plan.z_near)
     zf = jnp.float32(plan.z_far)
@@ -530,36 +632,46 @@ def pallas_colorize(
     plan: CamTailPlan,
     interpret: bool = False,
     pack: int = 0,
+    emit_aux: bool = True,
 ):
     """Camera-view tail: (H_pad, W_pad) packed (or f32) disparity map ->
     (frame_bgr (H, W, 3) u8, depth (H, W) f32, disp (H, W) f32) in one
     tile pass.  Replaces the XLA depth/normalize/colorize chain whose
-    TURBO gather costs ~10 ns/px on TPU."""
+    TURBO gather costs ~10 ns/px on TPU.  ``emit_aux=False`` returns
+    (frame, None, None) and skips the two f32 output stores (the
+    streaming display regime)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     assert disp_map.shape == (plan.H_pad, plan.W_pad)
     grid = (plan.H_pad // 32, plan.W_pad // 128)
     tile = pl.BlockSpec((32, 128), lambda i, j: (i, j), memory_space=pltpu.VMEM)
-    kernel = functools.partial(_colorize_kernel, plan=plan, pack=pack)
-    out_shapes = [
-        jax.ShapeDtypeStruct((plan.H_pad, plan.W_pad), jnp.float32),
-        jax.ShapeDtypeStruct((plan.H_pad, plan.W_pad), jnp.float32),
-        jax.ShapeDtypeStruct((plan.H_pad, plan.W_pad), jnp.uint8),
-        jax.ShapeDtypeStruct((plan.H_pad, plan.W_pad), jnp.uint8),
-        jax.ShapeDtypeStruct((plan.H_pad, plan.W_pad), jnp.uint8),
-    ]
-    disp_out, depth, b, g, r = pl.pallas_call(
+    f32_plane = jax.ShapeDtypeStruct((plan.H_pad, plan.W_pad), jnp.float32)
+    u8_plane = jax.ShapeDtypeStruct((plan.H_pad, plan.W_pad), jnp.uint8)
+    if emit_aux:
+        kernel = functools.partial(_colorize_kernel, plan=plan, pack=pack)
+        out_shapes = [f32_plane, f32_plane, u8_plane, u8_plane, u8_plane]
+    else:
+        kernel = functools.partial(
+            _colorize_kernel_display, plan=plan, pack=pack
+        )
+        out_shapes = [u8_plane, u8_plane, u8_plane]
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM), tile],
-        out_specs=[tile] * 5,
+        out_specs=[tile] * len(out_shapes),
         out_shape=out_shapes,
         interpret=interpret,
     )(jnp.asarray(_make_lut()), disp_map)
     H, W = plan.H, plan.W
+    if emit_aux:
+        disp_out, depth, b, g, r = outs
+        frame = jnp.stack([b[:H, :W], g[:H, :W], r[:H, :W]], axis=-1)
+        return frame, depth[:H, :W], disp_out[:H, :W]
+    b, g, r = outs
     frame = jnp.stack([b[:H, :W], g[:H, :W], r[:H, :W]], axis=-1)
-    return frame, depth[:H, :W], disp_out[:H, :W]
+    return frame, None, None
 
 
 def _make_lut() -> np.ndarray:
@@ -578,6 +690,7 @@ def pallas_tail(
     plan: TailPlan,
     interpret: bool = False,
     pack: int = 0,
+    emit_aux: bool = True,
 ):
     """disp_rect -> (frame_bgr (Hp, Wp, 3) u8, depth (Hp, Wp) f32, disp_proj
     (Hp, Wp) f32).
@@ -586,7 +699,12 @@ def pallas_tail(
     here).  With ``pack`` set to the scatter packing modulus (ops.scatter
     PACK), disp_rect is the already-padded (H_pad, W_pad)
     packed integer map straight from scatter_disp_packed(pad_shape=...)
-    and is unpacked inside the kernel -- saving two full-image passes."""
+    and is unpacked inside the kernel -- saving two full-image passes.
+
+    ``emit_aux=False`` selects the display-only kernel variant: depth and
+    disparity come back as None and their two full-resolution f32 output
+    stores (plus downstream layout copies) are skipped -- the streaming
+    path's regime, matching the reference's per-frame output surface."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -624,7 +742,7 @@ def pallas_tail(
                 memory_space=pltpu.VMEM,
             )
         ]
-        * 5,
+        * (5 if emit_aux else 3),
         scratch_shapes=[
             pltpu.VMEM((2, plan.RB, plan.CB), band_dtype),
             pltpu.VMEM((2, plan.TH, plan.CB), jnp.int16),
@@ -634,15 +752,17 @@ def pallas_tail(
         ],
     )
 
-    kernel = functools.partial(_tail_kernel, plan=plan, pack=pack)
-    out_shapes = [
-        jax.ShapeDtypeStruct((plan.Hp, plan.Wp), jnp.float32),
-        jax.ShapeDtypeStruct((plan.Hp, plan.Wp), jnp.float32),
-        jax.ShapeDtypeStruct((plan.Hp, plan.Wp), jnp.uint8),
-        jax.ShapeDtypeStruct((plan.Hp, plan.Wp), jnp.uint8),
-        jax.ShapeDtypeStruct((plan.Hp, plan.Wp), jnp.uint8),
-    ]
-    disp_out, depth, b, g, r = pl.pallas_call(
+    f32_plane = jax.ShapeDtypeStruct((plan.Hp, plan.Wp), jnp.float32)
+    u8_plane = jax.ShapeDtypeStruct((plan.Hp, plan.Wp), jnp.uint8)
+    if emit_aux:
+        kernel = functools.partial(_tail_kernel, plan=plan, pack=pack)
+        out_shapes = [f32_plane, f32_plane, u8_plane, u8_plane, u8_plane]
+    else:
+        kernel = functools.partial(
+            _tail_kernel_display, plan=plan, pack=pack
+        )
+        out_shapes = [u8_plane, u8_plane, u8_plane]
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
@@ -657,5 +777,10 @@ def pallas_tail(
         jnp.asarray(plan.yhat_a),
         jnp.asarray(plan.yhat_b),
     )
+    if emit_aux:
+        disp_out, depth, b, g, r = outs
+    else:
+        disp_out = depth = None
+        b, g, r = outs
     frame = jnp.stack([b, g, r], axis=-1)
     return frame, depth, disp_out
