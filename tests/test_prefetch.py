@@ -115,12 +115,12 @@ def test_compact_stage_matches_two_word_path():
         got = engine.process_staged(pool.stage_compact(ev))
         via2 = engine.process_staged(pool.stage(ev))
         want = engine.process_batch_device(engine.make_batch(ev))
+        # staged programs run display-only (reference output surface):
+        # depth/disp_map are absent, the frame must still be bit-exact
+        assert got.depth is None and got.disp_map is None
         for ref in (via2, want):
             np.testing.assert_array_equal(
                 np.asarray(got.frame_bgr), np.asarray(ref.frame_bgr)
-            )
-            np.testing.assert_array_equal(
-                np.asarray(got.depth), np.asarray(ref.depth)
             )
             assert int(got.num_inliers) == int(ref.num_inliers)
 
@@ -161,11 +161,9 @@ def test_staged_frame_path_runs():
         ev = simulate_plane_events(calib, depth_m=z, subsample=0.4)
         got = engine.process_staged(pool.stage(ev))
         want = engine.process_batch_device(engine.make_batch(ev))
+        assert got.depth is None  # staged programs are display-only
         np.testing.assert_array_equal(
             np.asarray(got.frame_bgr), np.asarray(want.frame_bgr)
-        )
-        np.testing.assert_array_equal(
-            np.asarray(got.depth), np.asarray(want.depth)
         )
         assert int(got.num_inliers) == int(want.num_inliers)
 
