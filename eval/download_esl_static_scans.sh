@@ -6,7 +6,7 @@
 
 set -euo pipefail
 
-data_folder="${1:-${ESL_DATA:-/ESL_data}}"
+data_folder="${1:-${XMAPS_ESL_DATA:-${ESL_DATA:-/ESL_data}}}"
 static_folder="$data_folder/static"
 mkdir -p "$static_folder"
 

@@ -14,7 +14,7 @@ compute_mc3d=${COMPUTE_MC3D:-true}
 compute_esl=${COMPUTE_ESL:-true}
 compute_xmaps=${COMPUTE_XMAPS:-true}
 
-data_folder="${ESL_DATA:-/ESL_data}"
+data_folder="${1:-${XMAPS_ESL_DATA:-${ESL_DATA:-/ESL_data}}}"
 static_folder="$data_folder/static"
 mkdir -p "$static_folder"
 

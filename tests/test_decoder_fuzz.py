@@ -18,6 +18,7 @@ import numpy as np
 import pytest
 
 from xmaps_tpu.io.evt_decoder import (
+    EVENT_DTYPE,
     EvtDecoder,
     _load_native,
     decode_evt2_numpy,
@@ -47,7 +48,7 @@ def _native_decode(tmp_path, raw: bytes, name: str, chunk_events: int):
     chunks = list(dec)
     dec.close()
     if not chunks:
-        return np.zeros(0, dtype=chunks[0].dtype if chunks else None)
+        return np.zeros(0, dtype=EVENT_DTYPE)
     return np.concatenate(chunks)
 
 

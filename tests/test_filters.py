@@ -172,6 +172,87 @@ def test_activity_filter_keeps_dense_drops_isolated():
     assert kept_noise < n_noise * 0.3
 
 
+def _activity_oracle(packets, width, height, window_us, keep_polarity=1):
+    """Sequential pure-Python transcription of the native filter
+    (csrc/evt_decoder.cpp act_filter_apply): per event, max last-timestamp
+    over the 8 neighbors decides keep; the center pixel updates after."""
+    none = np.iinfo(np.int64).min // 2
+    last = np.full((height + 2, width + 2), none, np.int64)
+    outs = []
+    for evs in packets:
+        keep = []
+        for ev in evs:
+            if keep_polarity >= 0 and ev["p"] != keep_polarity:
+                continue
+            x, y, t = int(ev["x"]) + 1, int(ev["y"]) + 1, int(ev["t"])
+            best = max(
+                last[y + dy, x + dx]
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+                if (dx, dy) != (0, 0)
+            )
+            last[y, x] = t
+            if t - best <= window_us:
+                keep.append(ev)
+        outs.append(
+            np.array(keep, dtype=EVENT_DTYPE)
+            if keep
+            else np.zeros(0, dtype=EVENT_DTYPE)
+        )
+    return outs
+
+
+def _correlated_packets(rng, n_packets=5, n_per=800):
+    """Time-ordered packets with heavy within-packet 3x3 correlation."""
+    packets = []
+    t0 = 0
+    for _ in range(n_packets):
+        ev = np.zeros(n_per, dtype=EVENT_DTYPE)
+        # half clustered bursts (strings of nearby pixels close in time),
+        # half uniform noise; duplicates and equal timestamps included
+        cx = rng.integers(1, W - 1, n_per // 8)
+        cy = rng.integers(1, H - 1, n_per // 8)
+        ev["x"][: n_per // 2] = np.repeat(cx, 4) + rng.integers(
+            -1, 2, n_per // 2
+        )
+        ev["y"][: n_per // 2] = np.repeat(cy, 4) + rng.integers(
+            -1, 2, n_per // 2
+        )
+        ev["x"][n_per // 2 :] = rng.integers(0, W, n_per - n_per // 2)
+        ev["y"][n_per // 2 :] = rng.integers(0, H, n_per - n_per // 2)
+        ev["p"] = rng.integers(0, 2, n_per)
+        ev["t"] = t0 + np.sort(rng.integers(0, 4000, n_per))
+        t0 += 4000
+        packets.append(np.sort(ev, order="t", kind="stable"))
+    return packets
+
+
+def test_activity_filter_numpy_matches_sequential_oracle():
+    # the vectorized NumPy fallback must reproduce the native filter's
+    # sequential semantics exactly, including within-packet unlocks
+    rng = np.random.default_rng(3)
+    packets = _correlated_packets(rng)
+    filt = ActivityNoiseFilter(W, H, window_us=700, force_numpy=True)
+    got = [filt.process(p) for p in packets]
+    want = _activity_oracle(packets, W, H, 700)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_activity_filter_native_matches_numpy():
+    from xmaps_tpu.io.evt_decoder import _load_native
+
+    if _load_native() is None:
+        pytest.skip("native filter unavailable")
+    rng = np.random.default_rng(4)
+    packets = _correlated_packets(rng)
+    nat = ActivityNoiseFilter(W, H, window_us=900)
+    fb = ActivityNoiseFilter(W, H, window_us=900, force_numpy=True)
+    assert nat._handle is not None
+    for p in packets:
+        np.testing.assert_array_equal(nat.process(p), fb.process(p))
+
+
 def test_activity_filter_stateful_across_packets():
     filt = ActivityNoiseFilter(W, H, window_us=1000)
     ev1 = np.zeros(1, dtype=EVENT_DTYPE)

@@ -148,7 +148,8 @@ def mc3d_disparity_dense(cam_image, tables, proj_w: int, proj_h: int):
 
 def main(argv=None):
     parser = argparse.ArgumentParser(
-        description="Depth estimation of cam-pro system using MC3D baseline (TPU)"
+        description="MC3D temporal-correspondence baseline: per-scan depth "
+        "maps for a camera+projector rig (TPU reimplementation)"
     )
     parser.add_argument("-object_dir", type=str, default="")
     parser.add_argument("-proj_height", type=int, default=1920)

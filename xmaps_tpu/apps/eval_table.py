@@ -75,7 +75,8 @@ def evaluate_sequence(seq_dir: str, min_depth: float, max_depth: float):
 
 def main(argv=None):
     parser = argparse.ArgumentParser(
-        description="Evaluation of event camera and projector system (TPU)"
+        description="Aggregate fill-rate / RMSE / Middlebury metrics across "
+        "evaluated scenes into the paper's Table-1 rows"
     )
     parser.add_argument("-object_dir", type=str, default="")
     parser.add_argument("-max_depth", type=float, default=120)

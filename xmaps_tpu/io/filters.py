@@ -25,19 +25,24 @@ def polarity_filter(evs: np.ndarray, polarity: int = 1) -> np.ndarray:
 class ActivityNoiseFilter:
     """Removes isolated events with no recent 3x3 neighbor.
 
-    Native C++ when available (exact, stateful across packets); NumPy
-    fallback approximates by using only the previous packets' state (events
-    within the same packet do not unlock each other), which for 4 packets
-    per frame is a close approximation.
+    Native C++ when available (stateful across packets); the NumPy
+    fallback implements the *same sequential semantics exactly* (including
+    within-packet unlocks) by replacing the sequential last-timestamp map
+    walk with a binary search per neighbor offset: in (pixel, index)
+    lexicographic order, the latest same-packet predecessor at a neighbor
+    pixel is the entry just below (neighbor_pixel, i).  Events must be
+    time-ordered (native contract), so that predecessor carries the
+    pixel's max timestamp.  tests/test_filters.py asserts bit-equality of
+    the two paths on correlated random streams.
     """
 
     def __init__(self, width: int, height: int, window_us: int,
-                 keep_polarity: int = 1):
+                 keep_polarity: int = 1, force_numpy: bool = False):
         self.width = width
         self.height = height
         self.window_us = int(window_us)
         self.keep_polarity = keep_polarity
-        self._lib = _load_native()
+        self._lib = None if force_numpy else _load_native()
         self._handle: Optional[ctypes.c_void_p] = None
         if self._lib is not None and hasattr(self._lib, "act_filter_create"):
             self._lib.act_filter_create.restype = ctypes.c_void_p
@@ -89,21 +94,50 @@ class ActivityNoiseFilter:
             out["x"], out["y"], out["p"], out["t"] = xs[:m], ys[:m], ps[:m], ts[:m]
             return out
 
-        # NumPy fallback: neighbor check against pre-packet state
+        # NumPy fallback: exact sequential semantics, vectorized.
         if self.keep_polarity >= 0:
             evs = evs[evs["p"] == self.keep_polarity]
-        if len(evs) == 0:
+        n = len(evs)
+        if n == 0:
             return evs
         x = evs["x"].astype(np.int64) + 1
         y = evs["y"].astype(np.int64) + 1
-        t = evs["t"]
-        best = np.full(len(evs), np.iinfo(np.int64).min // 2, np.int64)
+        t = np.ascontiguousarray(evs["t"], np.int64)
+        stride = self.width + 2
+        pix = y * stride + x
+        none = np.iinfo(np.int64).min // 2
+
+        # neighbor timestamps carried over from previous packets
+        best = np.full(n, none, np.int64)
+        flat = self._last_ts.ravel()
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
                 if dx == 0 and dy == 0:
                     continue
-                np.maximum(best, self._last_ts[y + dy, x + dx], out=best)
+                np.maximum(best, flat[pix + dy * stride + dx], out=best)
+
+        # within-packet unlocks: for event i and neighbor pixel q, the
+        # latest predecessor j < i at q is the entry just below key
+        # (q, i) in (pixel, index) order; time-ordered input makes that
+        # entry the pixel's running max timestamp.
+        key = pix * n + np.arange(n)  # unique: (pixel, index) in one i64
+        sorter = np.argsort(key)
+        skey = key[sorter]
+        idx = np.arange(n)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                qpix = pix + dy * stride + dx
+                pos = np.searchsorted(skey, qpix * n + idx) - 1
+                safe = np.maximum(pos, 0)
+                hit = (pos >= 0) & (skey[safe] // n == qpix)
+                np.maximum(
+                    best, np.where(hit, t[sorter[safe]], none), out=best
+                )
+
         keep = (t - best) <= self.window_us
-        # update state with all (pre-filter) events, last write wins
+        # update state with all polarity-kept events; duplicate pixels
+        # resolve to the last occurrence (the max timestamp, as native)
         self._last_ts[y, x] = t
         return evs[keep]

@@ -435,13 +435,14 @@ class PacketRing:
             self.packets_staged += 1
         return True
 
-    def skip_packets(self, count: int):
-        """Advance the global numbering past ``count`` events WITHOUT
-        staging them (used while the watchdog is dropping frames: bytes
-        of a doomed frame should never cross the host->device link).
+    def skip_events(self, num_events: int):
+        """Advance the global EVENT numbering past ``num_events`` events
+        WITHOUT staging them (used while the watchdog is dropping frames:
+        bytes of a doomed frame should never cross the host->device link).
         Frames that later turn out to span a skipped range simply miss
         residency and take the segmented-staging fallback."""
-        self._next_global += count
+        assert num_events >= 0, num_events
+        self._next_global += num_events
 
     def retire_below(self, gmin: int):
         """Free slots whose packets end at or before global index gmin."""

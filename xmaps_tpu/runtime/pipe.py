@@ -121,7 +121,7 @@ class DepthReprojectionPipe:
                 # the lag).  Keep the ring's numbering in sync and let any
                 # surviving frame that spans this range use the segmented
                 # fallback.
-                self.ring.skip_packets(len(evs))
+                self.ring.skip_events(len(evs))
             else:
                 with self.stats_printer.measure_time("prestage packet"):
                     self.ring.stage_packets(evs)

@@ -45,22 +45,31 @@ class FileSinkWindow:
         self.out_dir = out_dir
         self.every = every
         self._i = 0
+        self._pending = None  # frame index of the last accepted probe
         os.makedirs(out_dir, exist_ok=True)
 
     def should_close(self) -> bool:
         return False
 
     def wants_frame(self, i: int) -> bool:
-        return i % self.every == 0
+        want = i % self.every == 0
+        if want:
+            self._pending = i
+        return want
 
     def show_async(self, img: np.ndarray) -> None:
         from PIL import Image
 
+        # Filenames carry the true frame index: the probe's index when the
+        # processor drives demand through wants_frame, or a plain call
+        # counter for direct callers that show every frame.
+        idx = self._i if self._pending is None else self._pending
+        self._pending = None
+        self._i = idx + 1
         # frames are BGR (reference window mode); PNG wants RGB
         Image.fromarray(img[..., ::-1]).save(
-            os.path.join(self.out_dir, f"depth_{self._i:06d}.png")
+            os.path.join(self.out_dir, f"depth_{idx:06d}.png")
         )
-        self._i += self.every
 
     def set_keyboard_callback(self, cb) -> None:
         pass
