@@ -43,9 +43,34 @@ def main():
 
     # First device contact can block for minutes while the shared tunnel
     # reclaims a previous client's resources; absorb that here so it is
-    # not billed to the framework's setup time.
+    # not billed to the framework's setup time.  Round 2 showed the stall
+    # can also hit the first LARGE host->device copy (the Pallas plan
+    # upload regressed setup_s to 242 s), so the warmup pushes a
+    # plan-sized transfer and runs one trivial Pallas program before the
+    # setup timer starts.
     t0 = time.perf_counter()
     jax.block_until_ready(jax.device_put(np.zeros(8, np.float32), dev) + 1)
+    jax.block_until_ready(
+        jax.device_put(np.zeros(32 << 20, np.uint8), dev)
+    )
+    try:
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        import jax.numpy as jnp
+
+        def _noop(x_ref, o_ref):
+            o_ref[:] = x_ref[:] + 1
+
+        jax.block_until_ready(
+            pl.pallas_call(
+                _noop,
+                out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )(jnp.zeros((8, 128), jnp.int32))
+        )
+    except Exception:
+        pass  # CPU fallback runs of the bench have no Mosaic path
     tunnel_connect_s = time.perf_counter() - t0
 
     # Demonstrator-scale rig (README.md:30, paper html:260-263):

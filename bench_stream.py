@@ -86,6 +86,7 @@ def main():
     )
 
     lat_s: list[float] = []
+    ks_seen: list[int] = []
     results = []
 
     def on_frame_compact(frame_evs):
@@ -123,6 +124,7 @@ def main():
                 res = engine.process_ring(pkts, meta)
                 n_inl = int(res.num_inliers)
                 lat_s.append(time.perf_counter() - t0)
+                ks_seen.append(len(pkts))
                 results.append((n_inl, res))
                 del results[:-1]
                 ring.retire_below(tf.buffer_global_base)
@@ -186,20 +188,21 @@ def main():
     rtt_p50_ms = float(np.percentile(rtt, 50) * 1e3)
 
     # Structure-matched dispatch baseline: a trivial program taking the
-    # SAME argument structure as the ring dispatch (K packet slot pairs +
-    # the (3, K) host meta array + the LUT tables) and returning one
-    # scalar.  Through a tunneled device, marshalling that many buffer
-    # handles and shipping the meta costs several ms that a co-located
-    # host would not pay; p50 minus this baseline isolates the latency
-    # the framework itself adds (device compute + its real dispatch).
-    from xmaps_tpu.io.prefetch import RING_SLOTS_PER_FRAME as _K
+    # SAME argument structure as the ring dispatch (the measured runs'
+    # typical packet count k of slot pairs + the (3, k) host meta array +
+    # the LUT tables) and returning one scalar.  Through a tunneled
+    # device, marshalling the buffer handles and shipping the meta costs
+    # several ms that a co-located host would not pay; p50 minus this
+    # baseline isolates the latency the framework itself adds (device
+    # compute + its real dispatch).
+    _k = int(np.bincount(ks_seen).argmax()) if ks_seen else 5
 
     cap = engine.cfg.event_capacity // 2
     null_xys = tuple(
-        jax.device_put(np.zeros(cap, np.uint32)) for _ in range(_K)
+        jax.device_put(np.zeros(cap, np.uint32)) for _ in range(_k)
     )
     null_tps = tuple(
-        jax.device_put(np.zeros(cap, np.int32)) for _ in range(_K)
+        jax.device_put(np.zeros(cap, np.int32)) for _ in range(_k)
     )
 
     import jax.numpy as jnp
@@ -211,7 +214,7 @@ def main():
             acc = acc + a[0].astype(jnp.int32) + b[0]
         return acc + tables.x_map[0, 0].astype(jnp.int32)
 
-    meta0 = np.zeros((3, _K), np.int32)
+    meta0 = np.zeros((3, _k), np.int32)
     int(null_dispatch(null_xys, null_tps, meta0, engine.tables))
     base = []
     for _ in range(40):
@@ -219,6 +222,21 @@ def main():
         int(null_dispatch(null_xys, null_tps, meta0, engine.tables))
         base.append(time.perf_counter() - t1)
     dispatch_p50_ms = float(np.percentile(base, 50) * 1e3)
+
+    # The same null dispatch issued right after an in-flight packet-sized
+    # H2D copy -- the real path's timeline (the frame's last packet is
+    # still crossing the tunnel when the trigger fires and dispatches).
+    # Subtracting THIS baseline additionally removes the link-contention
+    # cost a PCIe host would not see at these sizes.
+    pkt_buf = np.zeros(2 * cap, np.uint32)
+    base_c = []
+    for _ in range(40):
+        t1 = time.perf_counter()
+        h = jax.device_put(pkt_buf)  # async, like PacketRing staging
+        int(null_dispatch(null_xys, null_tps, meta0, engine.tables))
+        base_c.append(time.perf_counter() - t1)
+        jax.block_until_ready(h)
+    contended_p50_ms = float(np.percentile(base_c, 50) * 1e3)
 
     # Display-path cost over the tunnel (bandwidth-bound, environment
     # overhead): first fetch of a freshly computed 2.7 MB BGR frame
@@ -239,12 +257,21 @@ def main():
         "metric": "stream_p50_latency_ms",
         "value": round(p50, 3),
         "unit": "ms",
-        "vs_baseline": round(2.67 / max(p50 - rtt_p50_ms, 1e-6), 2),
+        # conservative: raw p50 against the reference's 2.67 ms, with NO
+        # environment adjustment (the adjusted figures live in extra)
+        "vs_baseline": round(2.67 / max(p50, 1e-6), 2),
         "extra": {
             "p95_ms": round(p95, 3),
             "p50_ms_rtt_adjusted": round(p50 - rtt_p50_ms, 3),
             "p50_framework_ms": round(p50 - dispatch_p50_ms, 3),
+            "p50_framework_contention_adjusted_ms": round(
+                p50 - contended_p50_ms, 3
+            ),
             "dispatch_baseline_p50_ms": round(dispatch_p50_ms, 3),
+            "dispatch_baseline_contended_p50_ms": round(
+                contended_p50_ms, 3
+            ),
+            "ring_packets_per_frame_mode": _k,
             "p50_segmented_staging_ms": round(
                 float(np.percentile(np.asarray(lat_compact) * 1e3, 50)), 3
             ),

@@ -1,0 +1,178 @@
+"""Per-frame device time at an arbitrary rig geometry (real TPU).
+
+The flagship bench (bench.py) measures the demonstrator rig (640x480 cam,
+720x1280 projector).  The reference's published 2.67 ms/frame, however,
+was measured on the ESL static scenes at the ESL eval geometry: 640x480
+camera, 1080x1920 projector, 3x-projector rectification (paper Table 2;
+.vscode/launch.json:31-34) -- whose (5760, 1152) X-map does not fit VMEM,
+exercising the large-table event path.  This script times any geometry
+with the same tunnel-robust method as bench.py (group dispatch, two round
+sizes differenced, min over trials) and prints one JSON line.
+
+Usage:
+    python eval/bench_geometry.py --geometry esl   # the paper's Table-2 rig
+    python eval/bench_geometry.py --geometry demo  # bench.py's rig
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--geometry", choices=["esl", "demo"], default="esl")
+    ap.add_argument("--frames", type=int, default=12)
+    ap.add_argument("--events", type=int, default=28 * 1024)
+    ap.add_argument("--no-pallas-events", action="store_true")
+    ap.add_argument("--no-pallas-tail", action="store_true")
+    ap.add_argument("--rounds", type=int, nargs=2, default=(6, 30))
+    args = ap.parse_args(argv)
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/xmaps_tpu/jax_cache"),
+    )
+
+    from xmaps_tpu.models.depth_pipeline import XMapsDepthEngine
+    from xmaps_tpu.ops.event_batch import EventBatch
+    from xmaps_tpu.ops.frame_pipeline import depth_frame
+    from xmaps_tpu.utils.synthetic import (
+        make_synthetic_calibration,
+        simulate_plane_events,
+    )
+
+    dev = jax.devices()[0]
+    jax.block_until_ready(jax.device_put(np.zeros(8, np.float32), dev) + 1)
+    # absorb the first-large-transfer tunnel stall before the setup timer
+    # (same rationale as bench.py; the ESL rig uploads a 26 MB X-map)
+    jax.block_until_ready(jax.device_put(np.zeros(32 << 20, np.uint8), dev))
+
+    if args.geometry == "esl":
+        # The paper's Table-2 rig: 640x480 camera, 1080x1920 projector,
+        # rect = 3x projector (from_esl_yaml semantics) -> (5760, 3240)
+        # rect frame, (5760, 1080) X-map.  A synthetic rig stands in for
+        # the unreachable upstream calib.yaml (EVAL_ESL.md); the cost
+        # profile is set by the geometry, not the intrinsics' values.
+        import dataclasses
+
+        calib = make_synthetic_calibration(
+            camera_width=640,
+            camera_height=480,
+            projector_width=1080,
+            projector_height=1920,
+        )
+        calib = dataclasses.replace(
+            calib, rect_image_width=3 * 1080, rect_image_height=3 * 1920
+        )
+    else:
+        calib = make_synthetic_calibration(
+            camera_width=640,
+            camera_height=480,
+            projector_width=720,
+            projector_height=1280,
+        )
+
+    t0 = time.perf_counter()
+    engine = XMapsDepthEngine.from_calibration(
+        calib,
+        event_capacity=args.events,
+        z_near=0.2,
+        z_far=1.2,
+        xmap_cache_dir=os.path.expanduser("~/.cache/xmaps_tpu"),
+        use_pallas_events=False if args.no_pallas_events else None,
+        use_pallas_tail=False if args.no_pallas_tail else None,
+    )
+    setup_s = time.perf_counter() - t0
+
+    rng = np.random.default_rng(7)
+    frames = []
+    target = args.events - 1024  # leave headroom below capacity
+    sub = 0.031
+    for i in range(args.frames):
+        ev = simulate_plane_events(
+            calib, depth_m=0.45 + 0.02 * i, subsample=sub, jitter_us=2.0,
+            rng=rng,
+        )
+        if len(ev) > target:
+            keep = np.sort(
+                rng.choice(len(ev), size=target, replace=False)
+            )
+            ev = ev[keep]
+        if engine.event_plan is not None:
+            frames.append(
+                EventBatch.from_structured_sorted(ev, engine.cfg.event_capacity)
+            )
+        else:
+            frames.append(
+                (EventBatch.from_structured(ev, engine.cfg.event_capacity), None)
+            )
+    frames = [jax.device_put(bp, dev) for bp in frames]
+    n_events = int(np.mean([int(b.count) for b, _ in frames]))
+
+    tables, cfg = engine.tables, engine.cfg
+    tp, ep = engine.tail_plan, engine.event_plan
+
+    @jax.jit
+    def run_group(bs):
+        return [
+            depth_frame(
+                b, tables, cfg, tail_plan=tp, event_plan=ep,
+                presort_priority=prio, display_only=True,
+            )
+            for b, prio in bs
+        ]
+
+    t0 = time.perf_counter()
+    out = run_group(frames)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+
+    def timed_round(k):
+        outs = []
+        t0 = time.perf_counter()
+        for _ in range(k):
+            outs.append(run_group(frames))
+            if len(outs) > 3:
+                outs.pop(0)
+        checksum = int(outs[-1][-1].num_inliers)
+        assert checksum > 0, "pipeline produced no inliers"
+        return time.perf_counter() - t0
+
+    small, large = args.rounds
+    t_small = min(timed_round(small) for _ in range(5))
+    t_large = min(timed_round(large) for _ in range(5))
+    total_s = t_large - t_small
+    n_iters = (large - small) * len(frames)
+    frame_ms = total_s / n_iters * 1e3
+    mevents_s = n_events * n_iters / total_s / 1e6
+
+    ref_ms = 2.67  # paper Table 2, measured at the ESL geometry
+    print(json.dumps({
+        "geometry": args.geometry,
+        "frame_ms": round(frame_ms, 3),
+        "mevents_s": round(mevents_s, 2),
+        "events_per_frame": n_events,
+        "vs_ref_2p67ms": round(ref_ms / frame_ms, 2),
+        "event_plan": type(ep).__name__ if ep is not None else None,
+        "tail_plan": type(tp).__name__ if tp is not None else None,
+        "rect": [cfg.rect_height, cfg.rect_width],
+        "xmap_shape": list(engine.x_map_np.shape),
+        "setup_s": round(setup_s, 2),
+        "compile_s": round(compile_s, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

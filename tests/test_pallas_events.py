@@ -13,7 +13,10 @@ from xmaps_tpu.ops.disparity import (
 )
 from xmaps_tpu.ops.event_batch import EventBatch
 from xmaps_tpu.ops.frame_pipeline import depth_frame
-from xmaps_tpu.ops.pallas_events import build_event_gather_plan
+from xmaps_tpu.ops.pallas_events import (
+    build_event_gather_hbm_plan,
+    build_event_gather_plan,
+)
 from xmaps_tpu.utils.synthetic import (
     make_synthetic_calibration,
     simulate_plane_events,
@@ -109,6 +112,49 @@ def test_presorted_staging_bit_exact(rig):
     np.testing.assert_array_equal(np.asarray(got.disp_map), np.asarray(ref.disp_map))
     np.testing.assert_array_equal(np.asarray(got.depth), np.asarray(ref.depth))
     np.testing.assert_array_equal(np.asarray(got.frame_bgr), np.asarray(ref.frame_bgr))
+    assert int(got.num_inliers) == int(ref.num_inliers)
+
+
+@pytest.mark.parametrize("band_rows", [16, 64, 256])
+def test_hbm_disparity_stage_matches_xla(rig, band_rows):
+    """The HBM-banded variant (X-map streamed per block) must match the
+    XLA path bit-for-bit at every band size -- band_rows=16 forces the
+    serial extra-chunk path, 256 the single-prefetched-chunk fast path."""
+    engine, batch, plan = rig
+    hplan = build_event_gather_hbm_plan(
+        engine.tables.cam_map_packed, engine.x_map_np, band_rows=band_rows
+    )
+    t = engine.tables
+    ref = compute_event_disparity(
+        batch, t.cam_mapx_i16, t.cam_mapy_i16, t.x_map,
+        t_px_scale=engine.cfg.t_px_scale,
+    )
+    res, (xs, ys), prio = compute_event_disparity_pallas(
+        batch, hplan, t_px_scale=engine.cfg.t_px_scale, interpret=True
+    )
+    order = np.asarray(prio)
+    np.testing.assert_array_equal(np.asarray(res.x_rect), np.asarray(ref.x_rect)[order])
+    np.testing.assert_array_equal(np.asarray(res.y_rect), np.asarray(ref.y_rect)[order])
+    np.testing.assert_array_equal(np.asarray(res.disp), np.asarray(ref.disp)[order])
+    np.testing.assert_array_equal(np.asarray(res.inlier), np.asarray(ref.inlier)[order])
+
+
+@pytest.mark.parametrize("camera_perspective", [False, True])
+def test_hbm_full_frame_bit_exact(rig, camera_perspective):
+    engine, batch, plan = rig
+    hplan = build_event_gather_hbm_plan(
+        engine.tables.cam_map_packed, engine.x_map_np, band_rows=64
+    )
+    cfg = engine.cfg.replace(camera_perspective=camera_perspective)
+    ref = depth_frame(batch, engine.tables, cfg)
+    got = depth_frame(
+        batch, engine.tables, cfg, event_plan=hplan, pallas_interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got.disp_map), np.asarray(ref.disp_map))
+    np.testing.assert_array_equal(np.asarray(got.depth), np.asarray(ref.depth))
+    np.testing.assert_array_equal(
+        np.asarray(got.frame_bgr), np.asarray(ref.frame_bgr)
+    )
     assert int(got.num_inliers) == int(ref.num_inliers)
 
 

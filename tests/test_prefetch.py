@@ -198,15 +198,16 @@ def test_ring_assembly_bit_identical(rng):
     cap = 4096
     fn = jax.jit(lambda a, b, m: assemble_ring_frame(a, b, m, cap))
     # note: the 900-event arrival packets split into 800+100, so the
-    # global range must touch at most RING_SLOTS_PER_FRAME=8 packets
+    # global range must touch at most RING_SLOTS_PER_FRAME=8 packets;
+    # meta is (3, k) for the frame's actual packet count k
     for gs, ge in [(950, 4200), (0, 700), (702, 800), (100, 4390)]:
         frame = ev[gs:ge]
         out = ring.frame_meta(gs, ge, int(frame["t"][0]))
         assert out is not None, (gs, ge)
         pkts, meta = out
-        pad = pkts[0]
-        xys = tuple((pkts[i] if i < len(pkts) else pad).xy for i in range(K))
-        tps = tuple((pkts[i] if i < len(pkts) else pad).tp for i in range(K))
+        assert meta.shape == (3, len(pkts)) and len(pkts) <= K
+        xys = tuple(p.xy for p in pkts)
+        tps = tuple(p.tp for p in pkts)
         got = fn(xys, tps, meta)
         want = EventBatch.from_structured(frame, cap)
         for f in EventBatch._fields:

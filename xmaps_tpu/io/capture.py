@@ -272,3 +272,8 @@ class SyntheticCaptureBackend(CaptureBackend):
 
 
 register_capture_backend(SyntheticCaptureBackend())
+
+# the Metavision HAL adapter joins the registry when the SDK is present
+# (plain import: the module self-registers, which stays correct even if
+# it is imported first and this import resolves mid-initialization)
+import xmaps_tpu.io.capture_metavision  # noqa: E402,F401

@@ -479,10 +479,9 @@ class PacketRing:
             return None
         if len(pkts) > K:
             return None
-        while len(starts) < K:
-            starts.append(0)
-            counts.append(0)
-            t_offs.append(0)
+        # meta is (3, len(pkts)) -- the consumer specializes its program
+        # to the frame's actual packet count (fewer buffer handles and a
+        # narrower per-lane slot select than always-8 padding)
         meta = np.stack(
             [
                 np.asarray(starts, np.int32),

@@ -240,16 +240,24 @@ class XMapsDepthEngine:
         if use_pallas_events:
             from xmaps_tpu.ops.pallas_events import (
                 BLOCK,
+                build_event_gather_hbm_plan,
                 build_event_gather_plan,
                 tables_fit_vmem,
             )
 
-            if event_capacity % BLOCK == 0 and tables_fit_vmem(
-                (calib.camera_height, calib.camera_width), x_map_np.shape
-            ):
-                event_plan = build_event_gather_plan(
-                    tables.cam_map_packed, x_map_np
-                )
+            if event_capacity % BLOCK == 0:
+                if tables_fit_vmem(
+                    (calib.camera_height, calib.camera_width), x_map_np.shape
+                ):
+                    event_plan = build_event_gather_plan(
+                        tables.cam_map_packed, x_map_np
+                    )
+                else:
+                    # large rigs (e.g. the ESL eval geometry's 26 MB
+                    # X-map): stream X-map row bands from HBM per block
+                    event_plan = build_event_gather_hbm_plan(
+                        tables.cam_map_packed, x_map_np
+                    )
 
         _mark("pallas plans built")
         return XMapsDepthEngine(
@@ -419,19 +427,22 @@ class XMapsDepthEngine:
     def process_ring(self, packets, meta: np.ndarray) -> FrameResult:
         """Run the frame program on device-resident ring packets
         (io.prefetch.PacketRing pre-staging): ``packets`` is the list of
-        RingPackets covering the frame, ``meta`` the (3, K) placement
+        RingPackets covering the frame, ``meta`` the (3, k) placement
         array from PacketRing.frame_meta.  Only ``meta`` crosses the
-        host->device link at dispatch time."""
+        host->device link at dispatch time.
+
+        The program is specialized to the frame's actual packet count k
+        (jit caches one executable per distinct k): half the buffer
+        handles and a ~k/8 narrower per-lane slot select versus padding
+        to RING_SLOTS_PER_FRAME.  Frames span 4-5 packets in steady state
+        (4 packets/frame + boundary), so only a handful of variants ever
+        compile, and the persistent compile cache makes them one-time."""
         from xmaps_tpu.io.prefetch import RING_SLOTS_PER_FRAME as K
 
-        assert 0 < len(packets) <= K
-        pad = packets[0]
-        xys = tuple(
-            (packets[i] if i < len(packets) else pad).xy for i in range(K)
-        )
-        tps = tuple(
-            (packets[i] if i < len(packets) else pad).tp for i in range(K)
-        )
+        k = len(packets)
+        assert 0 < k <= K and meta.shape == (3, k), (k, meta.shape)
+        xys = tuple(p.xy for p in packets)
+        tps = tuple(p.tp for p in packets)
         return self._ring_fn(xys, tps, meta, self.tables)
 
     def dump_frame_csv(self, events: np.ndarray, csv_path: str) -> int:

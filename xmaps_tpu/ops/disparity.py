@@ -161,7 +161,17 @@ def compute_event_disparity_pallas(
     Returns (DisparityResult in sorted order, (x_sorted, y_sorted),
     priority).  Integer timestamps only (the streaming path).
     """
-    from xmaps_tpu.ops.pallas_events import rectify_and_lookup
+    from xmaps_tpu.ops.pallas_events import (
+        EventGatherHBMPlan,
+        rectify_and_lookup,
+        rectify_and_lookup_hbm,
+    )
+
+    lookup = (
+        rectify_and_lookup_hbm
+        if isinstance(plan, EventGatherHBMPlan)
+        else rectify_and_lookup
+    )
 
     if t_scaled is None:
         t_min, t_max = time_bounds(batch.t, batch.valid)
@@ -181,7 +191,7 @@ def compute_event_disparity_pallas(
         )
         valid_s = valid_s.astype(jnp.bool_)
 
-    xr, yr, x_proj = rectify_and_lookup(xs, ys, ts, plan, interpret=interpret)
+    xr, yr, x_proj = lookup(xs, ys, ts, plan, interpret=interpret)
 
     H_xmap, W_time = plan.xmap_h, plan.xmap_w
     y_in = (yr >= 0) & (yr < H_xmap - 1) & valid_s

@@ -39,8 +39,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "EventGatherPlan",
+    "EventGatherHBMPlan",
     "build_event_gather_plan",
+    "build_event_gather_hbm_plan",
     "rectify_and_lookup",
+    "rectify_and_lookup_hbm",
     "tables_fit_vmem",
     "BLOCK",
 ]
@@ -174,6 +177,264 @@ def _event_kernel(
     xproj_ref[:] = _banded_gather(
         x_map_ref, yg, tg, xmap_colgroups, jnp.zeros(yg.shape, jnp.int32)
     )
+
+
+class EventGatherHBMPlan(NamedTuple):
+    """Tables for the large-X-map event kernel: the camera LUT stays
+    VMEM-resident, the X-map stays in HBM and is streamed to VMEM in
+    ``band_rows``-row chunks per event block.
+
+    Rigs like the ESL eval geometry (X-map (5760, 1152) i32 = 26 MB
+    against a ~16 MB VMEM) cannot keep the X-map resident.  Events sorted
+    by camera row only touch a narrow band of X-map rows per 1024-event
+    block, and that band is *predictable from the raw rows alone*: the
+    per-camera-row envelope of clipped rectified rows (built on host from
+    the same mapy LUT the kernel gathers through) bounds every event's
+    X-map row.  A cheap XLA pre-pass turns each block's raw-row min/max
+    into a DMA base + row-group count, which also lets block i prefetch
+    block i+1's band (double-buffered) — the DMA rides under the gather
+    compute instead of serializing with it.
+    """
+
+    cam_lut: jax.Array  # (Hc_pad, Wc_pad) i32: mapy<<16 | (mapx & 0xffff)
+    x_map_hbm: jax.Array  # (Hx_pad + band_rows, Wx_pad) i32, HBM-resident
+    lo_env: jax.Array  # (Hc,) i32: min clipped X-map row for raw rows >= y
+    hi_env: jax.Array  # (Hc,) i32: max clipped X-map row for raw rows <= y
+    cam_h: int
+    cam_w: int
+    xmap_h: int
+    xmap_w: int
+    band_rows: int
+
+
+def build_event_gather_hbm_plan(
+    cam_map_packed, x_map, band_rows: int = 256
+) -> EventGatherHBMPlan:
+    """band_rows: X-map rows DMA'd per chunk (multiple of 8).  Sized so one
+    chunk covers a typical sorted block's row span; larger bands trade HBM
+    traffic for fewer (rare) extra-chunk stalls."""
+    assert band_rows % 8 == 0
+    cam = np.asarray(cam_map_packed)
+    xm = np.asarray(x_map).astype(np.int32)
+    Hc, Wc = cam.shape
+    Hx, Wx = xm.shape
+    cam_p = np.zeros((_round_up(Hc, 8), _round_up(Wc, 128)), np.int32)
+    cam_p[:Hc, :Wc] = cam
+    # rows padded by one extra band so the last chunk's static-height DMA
+    # stays in bounds for any 8-aligned base below the real row range
+    xm_p = np.zeros(
+        (_round_up(Hx, 8) + band_rows, _round_up(Wx, 128)), np.int32
+    )
+    xm_p[:Hx, :Wx] = xm
+
+    # Per-raw-row envelope of clip(mapy, 0, Hx-1) over the full x range,
+    # monotonized into suffix-min / prefix-max so a block's [ymin, ymax]
+    # range query is two lookups (exact for monotonic rectification maps,
+    # conservative otherwise).
+    mapy = (cam.astype(np.int32) >> 16).astype(np.int32)
+    yg_tab = np.clip(mapy, 0, Hx - 1)
+    row_lo = yg_tab.min(axis=1)
+    row_hi = yg_tab.max(axis=1)
+    lo_env = np.minimum.accumulate(row_lo[::-1])[::-1]
+    hi_env = np.maximum.accumulate(row_hi)
+
+    return EventGatherHBMPlan(
+        cam_lut=jnp.asarray(cam_p),
+        x_map_hbm=jnp.asarray(xm_p),
+        lo_env=jnp.asarray(lo_env.astype(np.int32)),
+        hi_env=jnp.asarray(hi_env.astype(np.int32)),
+        cam_h=Hc,
+        cam_w=Wc,
+        xmap_h=Hx,
+        xmap_w=Wx,
+        band_rows=band_rows,
+    )
+
+
+def _event_kernel_hbm(
+    base_ref,
+    groups_ref,
+    x_ref,
+    y_ref,
+    t_ref,
+    cam_lut_ref,
+    x_map_ref,
+    xr_ref,
+    yr_ref,
+    xproj_ref,
+    band,
+    sems,
+    *,
+    cam_h,
+    cam_w,
+    xmap_h,
+    xmap_w,
+    cam_colgroups,
+    xmap_colgroups,
+    band_rows,
+    nb,
+):
+    i = pl.program_id(0)
+    slot = jax.lax.rem(i, 2)
+
+    def first_dma(blk, s):
+        b0 = pl.multiple_of(base_ref[blk], 8)
+        return pltpu.make_async_copy(
+            x_map_ref.at[pl.ds(b0, band_rows), :], band.at[s], sems.at[s]
+        )
+
+    @pl.when(i == 0)
+    def _():
+        first_dma(0, 0).start()
+
+    @pl.when(i + 1 < nb)
+    def _():
+        first_dma(i + 1, 1 - slot).start()
+
+    x = x_ref[:]
+    y = y_ref[:]
+    t = t_ref[:]
+
+    # --- rectify through the VMEM-resident camera LUT -----------------
+    yc = jnp.clip(y, 0, cam_h - 1)
+    xc = jnp.clip(x, 0, cam_w - 1)
+    packed = _banded_gather(
+        cam_lut_ref, yc, xc, cam_colgroups, jnp.zeros(x.shape, jnp.int32)
+    )
+    xr = (packed << 16) >> 16
+    yr = packed >> 16
+    xr_ref[:] = xr
+    yr_ref[:] = yr
+
+    # --- X-map lookup from the streamed band --------------------------
+    yg = jnp.clip(yr, 0, xmap_h - 1)
+    tg = jnp.clip(t, 0, xmap_w - 1)
+    cgi = tg >> 7
+    key = yg * xmap_colgroups + cgi
+    l_cg = tg & 127
+
+    base0 = base_ref[i]
+    groups = groups_ref[i]
+    RG = band_rows // 8
+
+    def gather_chunk(chunk_base, band_slot, ngroups, acc):
+        # rows [chunk_base, chunk_base + ngroups*8) are resident in
+        # band_slot at band-relative offsets
+        def body(g, acc):
+            tab = band_slot[pl.ds(pl.multiple_of(g * 8, 8), 8), :]
+            row_key0 = (chunk_base + g * 8) * xmap_colgroups
+            for s in range(8):
+                seg_row = tab[s : s + 1, :]
+                for cg in range(xmap_colgroups):
+                    seg = jnp.broadcast_to(
+                        seg_row[:, cg * 128 : (cg + 1) * 128], acc.shape
+                    )
+                    v = jnp.take_along_axis(seg, l_cg, axis=1)
+                    sel = key == row_key0 + s * xmap_colgroups + cg
+                    acc = jnp.where(sel, v, acc)
+            return acc
+
+        return jax.lax.fori_loop(0, ngroups, body, acc)
+
+    first_dma(i, slot).wait()
+    acc = gather_chunk(
+        base0,
+        band.at[slot],
+        jnp.minimum(groups, RG),
+        jnp.zeros(yg.shape, jnp.int32),
+    )
+
+    # rare tail: a block spanning more than one band streams the extra
+    # chunks serially through the third slot
+    nchunks = (groups + RG - 1) // RG
+
+    def extra(c, acc):
+        eb = pl.multiple_of(base0 + c * band_rows, 8)
+        cp = pltpu.make_async_copy(
+            x_map_ref.at[pl.ds(eb, band_rows), :], band.at[2], sems.at[2]
+        )
+        cp.start()
+        cp.wait()
+        ng = jnp.minimum(groups - c * RG, RG)
+        return gather_chunk(eb, band.at[2], ng, acc)
+
+    acc = jax.lax.fori_loop(1, nchunks, extra, acc)
+    xproj_ref[:] = acc
+
+
+def rectify_and_lookup_hbm(
+    x: jax.Array,
+    y: jax.Array,
+    t_scaled: jax.Array,
+    plan: EventGatherHBMPlan,
+    interpret: bool = False,
+):
+    """Large-table variant of :func:`rectify_and_lookup`: same contract and
+    bit-identical results, with the X-map streamed from HBM per block.
+    Sort events by raw y first for performance (not correctness)."""
+    n = x.shape[0]
+    assert n % BLOCK == 0, f"capacity {n} not a multiple of {BLOCK}"
+    nb = n // BLOCK
+    rows = n // 128
+    block_rows = BLOCK // 128
+    R = plan.band_rows
+    RG = R // 8
+
+    # per-block DMA plan from raw rows alone (reduction + two tiny
+    # gathers; no dependence on the rectified values being computed)
+    yb = jnp.clip(y, 0, plan.cam_h - 1).reshape(nb, BLOCK)
+    lo = plan.lo_env[jnp.min(yb, axis=1)]
+    hi = plan.hi_env[jnp.max(yb, axis=1)]
+    base = (lo // 8) * 8
+    groups = hi // 8 + 1 - lo // 8
+
+    def blk(a):
+        return a.reshape(rows, 128)
+
+    kernel = functools.partial(
+        _event_kernel_hbm,
+        cam_h=plan.cam_h,
+        cam_w=plan.cam_w,
+        xmap_h=plan.xmap_h,
+        xmap_w=plan.xmap_w,
+        cam_colgroups=plan.cam_lut.shape[1] // 128,
+        xmap_colgroups=plan.x_map_hbm.shape[1] // 128,
+        band_rows=R,
+        nb=nb,
+    )
+    ev_spec = pl.BlockSpec(
+        (block_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((rows, 128), jnp.int32)
+    xr, yr, xproj = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # base
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # groups
+            ev_spec,
+            ev_spec,
+            ev_spec,
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # cam LUT, resident
+            pl.BlockSpec(memory_space=pl.ANY),  # X-map, HBM
+        ],
+        out_specs=[ev_spec] * 3,
+        out_shape=[out_shape] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((3, R, plan.x_map_hbm.shape[1]), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(
+        base.astype(jnp.int32),
+        groups.astype(jnp.int32),
+        blk(x),
+        blk(y),
+        blk(t_scaled),
+        plan.cam_lut,
+        plan.x_map_hbm,
+    )
+    return xr.reshape(n), yr.reshape(n), xproj.reshape(n)
 
 
 def rectify_and_lookup(
