@@ -65,8 +65,10 @@ def main():
     with open(raw_path, "wb") as f:
         f.write(encode_evt3(evs, 640, 480))
 
-    # absorb the first-contact tunnel stall (see bench.py) before timing
+    # absorb the first-contact + first-large-transfer tunnel stalls (see
+    # bench.py) before timing
     jax.block_until_ready(jax.device_put(np.zeros(8, np.float32)) + 1)
+    jax.block_until_ready(jax.device_put(np.zeros(32 << 20, np.uint8)))
 
     t0 = time.perf_counter()
     engine = XMapsDepthEngine.from_calibration(
@@ -111,7 +113,8 @@ def main():
 
         if mode == "ring":
             ring = PacketRing(
-                packet_capacity=engine.cfg.event_capacity // 2
+                packet_capacity=max(2048, engine.cfg.event_capacity // 4),
+                layout=engine.ring_layout,
             )
 
             def on_frame_ring(frame_evs, gs):
@@ -224,31 +227,47 @@ def main():
     dispatch_p50_ms = float(np.percentile(base, 50) * 1e3)
 
     # The same null dispatch issued right after an in-flight packet-sized
-    # H2D copy -- the real path's timeline (the frame's last packet is
-    # still crossing the tunnel when the trigger fires and dispatches).
-    # Subtracting THIS baseline additionally removes the link-contention
-    # cost a PCIe host would not see at these sizes.
+    # H2D copy that the program CONSUMES -- the real path's timeline (the
+    # frame's last packet is still crossing the tunnel when the trigger
+    # fires, and the frame program depends on it).  Subtracting THIS
+    # baseline additionally removes the link-dependency cost a PCIe host
+    # would not see at these sizes (~10 us there vs ms through a tunnel).
+    @jax.jit
+    def null_dispatch_dep(fresh, xys, tps, meta, tables):
+        acc = meta.sum() + fresh[0].astype(jnp.int32)
+        for a, b in zip(xys, tps):
+            acc = acc + a[0].astype(jnp.int32) + b[0]
+        return acc + tables.x_map[0, 0].astype(jnp.int32)
+
     pkt_buf = np.zeros(2 * cap, np.uint32)
+    int(null_dispatch_dep(
+        jax.device_put(pkt_buf), null_xys, null_tps, meta0, engine.tables
+    ))
     base_c = []
     for _ in range(40):
         t1 = time.perf_counter()
         h = jax.device_put(pkt_buf)  # async, like PacketRing staging
-        int(null_dispatch(null_xys, null_tps, meta0, engine.tables))
+        int(null_dispatch_dep(h, null_xys, null_tps, meta0, engine.tables))
         base_c.append(time.perf_counter() - t1)
-        jax.block_until_ready(h)
     contended_p50_ms = float(np.percentile(base_c, 50) * 1e3)
 
     # Display-path cost over the tunnel (bandwidth-bound, environment
     # overhead): first fetch of a freshly computed 2.7 MB BGR frame
     # (jax caches the host copy, so only the first fetch is honest).
     fetch = []
+    frame_nbytes = 0
     for _ in range(3):
         res = engine.process_staged(pool.stage(evs[: 28 * 1024]))
         int(res.num_inliers)  # compute done; now time the pure transfer
         t1 = time.perf_counter()
-        np.asarray(jax.device_get(res.frame_bgr))
+        img = np.asarray(jax.device_get(res.frame_bgr))
         fetch.append(time.perf_counter() - t1)
+        frame_nbytes = img.nbytes
     display_fetch_ms = float(np.percentile(fetch, 50) * 1e3)
+    # the fetch doubles as a link-bandwidth probe: the tunnel's quality
+    # varies by session and bounds how many staged bytes/frame fit in the
+    # 60 Hz budget -- record it so runs are comparable
+    link_mbytes_s = frame_nbytes / max(display_fetch_ms, 1e-3) / 1e3
 
     lat = np.asarray(lat_s) * 1e3
     p50 = float(np.percentile(lat, 50))
@@ -272,6 +291,10 @@ def main():
                 contended_p50_ms, 3
             ),
             "ring_packets_per_frame_mode": _k,
+            "ring_staged_bytes_per_frame": _k
+            * max(2048, engine.cfg.event_capacity // 4)
+            * (4 if engine.ring_layout is not None else 8),
+            "link_mbytes_s_display_fetch": round(link_mbytes_s, 1),
             "p50_segmented_staging_ms": round(
                 float(np.percentile(np.asarray(lat_compact) * 1e3, 50)), 3
             ),

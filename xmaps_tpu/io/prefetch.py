@@ -48,8 +48,10 @@ __all__ = [
     "unpack_staged_compact",
     "PacketRing",
     "RingPacket",
+    "RingLayout",
     "RING_SLOTS_PER_FRAME",
     "assemble_ring_frame",
+    "assemble_ring_frame_compact",
 ]
 
 #: polarity rides in bit 30 of the int32 tp word; frame-relative
@@ -289,11 +291,41 @@ class HostStagingPool:
 RING_SLOTS_PER_FRAME = 8
 
 
+class RingLayout(NamedTuple):
+    """ONE-word-per-event ring staging: ``x | y << bits_x |
+    t_rel << (bits_x + bits_y)``.
+
+    Halves the bytes each packet pushes across the host->device link --
+    the link is the streaming path's latency floor, so this directly
+    lowers end-to-end frame latency.  Valid when (a) the polarity filter
+    runs upstream of staging (the pipe's fused polarity+activity filter
+    guarantees every staged event has p == 1, so polarity needs no bit)
+    and (b) the camera dims leave >= 13 bits for the packet-relative
+    time (arrival packets span delta_t ~4.2 ms < 8.2 ms; longer spans
+    are split at stage time).  640x480 sensors fit exactly
+    (10 + 9 + 13 = 32); larger sensors fall back to 2-word staging."""
+
+    bits_x: int
+    bits_y: int
+    bits_t: int
+
+    @staticmethod
+    def for_camera(width: int, height: int) -> Optional["RingLayout"]:
+        bx = max(int(np.ceil(np.log2(max(width, 2)))), 1)
+        by = max(int(np.ceil(np.log2(max(height, 2)))), 1)
+        bt = 32 - bx - by
+        if bt < 13:
+            return None
+        return RingLayout(bx, by, bt)
+
+
 class RingPacket(NamedTuple):
     """One staged packet: device arrays + host-side placement metadata."""
 
-    xy: jax.Array  # (packet_capacity,) uint32: x | y << 16
-    tp: jax.Array  # (packet_capacity,) int32: t_rel | p << 30
+    xy: jax.Array  # (packet_capacity,) uint32: x | y << 16, or the
+    #   single packed word when the ring uses a RingLayout
+    tp: Optional[jax.Array]  # (packet_capacity,) int32: t_rel | p << 30;
+    #   None in compact (RingLayout) mode
     gbase: int  # global index of this packet's first event
     count: int  # valid events in the slot
     t_base: int  # absolute microsecond timestamp of the first event
@@ -345,6 +377,46 @@ def assemble_ring_frame(
     return EventBatch(x=x, y=y, t=t, p=p, valid=valid, count=count)
 
 
+def assemble_ring_frame_compact(
+    ws: tuple,
+    meta: jax.Array,
+    capacity: int,
+    layout: RingLayout,
+) -> EventBatch:
+    """:func:`assemble_ring_frame` for compact (one-word) ring packets.
+
+    Same placement math, one resident table gathered instead of two, and
+    p reconstructed as the constant 1 the upstream polarity filter
+    guarantees.  Bit-identical to EventBatch.from_structured of the
+    segmented slice (tests/test_prefetch.py)."""
+    K = len(ws)
+    starts, counts, t_offs = meta[0], meta[1], meta[2]
+    w = jnp.stack(ws)  # (K, P)
+    P = w.shape[1]
+
+    cum = jnp.cumsum(counts)
+    total = cum[-1]
+    j = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0).reshape(capacity)
+    k = jnp.sum(j[:, None] >= cum[None, :], axis=1).astype(jnp.int32)
+    kc = jnp.clip(k, 0, K - 1)
+    prev = jnp.where(kc > 0, cum[jnp.maximum(kc - 1, 0)], 0)
+    idx = starts[kc] + (j - prev)
+    idxc = jnp.clip(idx, 0, P - 1)
+
+    word = w[kc, idxc].astype(jnp.int32)
+    count = jnp.minimum(total, capacity).astype(jnp.int32)
+    valid = j < count
+    zero = jnp.int32(0)
+    bx, by = layout.bits_x, layout.bits_y
+    x = jnp.where(valid, word & ((1 << bx) - 1), zero)
+    y = jnp.where(valid, (word >> bx) & ((1 << by) - 1), zero)
+    # logical shift: the word is packed unsigned (u32 reinterpreted)
+    t_rel = jax.lax.shift_right_logical(word, jnp.int32(bx + by))
+    t = jnp.where(valid, t_rel + t_offs[kc], zero)
+    p = jnp.where(valid, jnp.int32(1), zero)
+    return EventBatch(x=x, y=y, t=t, p=p, valid=valid, count=count)
+
+
 class PacketRing:
     """Preallocated host slots + live device packets for pre-staging.
 
@@ -360,17 +432,25 @@ class PacketRing:
         packet_capacity: int,
         n_slots: int = 16,
         device: Optional[jax.Device] = None,
+        layout: Optional[RingLayout] = None,
     ):
         assert n_slots >= 2 * RING_SLOTS_PER_FRAME
         self.packet_capacity = packet_capacity
         self.device = device
-        self._slots = [
-            {
-                "xy": np.zeros(packet_capacity, np.uint32),
-                "tp": np.zeros(packet_capacity, np.int32),
-            }
-            for _ in range(n_slots)
-        ]
+        self.layout = layout
+        if layout is not None:
+            self._slots = [
+                {"w": np.zeros(packet_capacity, np.uint32)}
+                for _ in range(n_slots)
+            ]
+        else:
+            self._slots = [
+                {
+                    "xy": np.zeros(packet_capacity, np.uint32),
+                    "tp": np.zeros(packet_capacity, np.int32),
+                }
+                for _ in range(n_slots)
+            ]
         self._free = list(range(n_slots))
         self._live: list[RingPacket] = []  # sorted by gbase
         self._next_global = 0
@@ -391,8 +471,19 @@ class PacketRing:
         back to segmented staging.
         """
         P = self.packet_capacity
-        for off in range(0, len(evs), P):
-            chunk = evs[off : off + P]
+        off = 0
+        while off < len(evs):
+            end = min(off + P, len(evs))
+            if self.layout is not None:
+                # bound the chunk's span to the layout's t_rel field
+                # (arrival packets are delta_t ~4.2 ms < 2^13 us, so
+                # this split only fires on abnormal streams)
+                tmax = int(evs["t"][off]) + (1 << self.layout.bits_t) - 1
+                if int(evs["t"][end - 1]) > tmax:
+                    end = off + int(
+                        np.searchsorted(evs["t"][off:end], tmax, "right")
+                    )
+            chunk = evs[off:end]
             if not self._free:
                 self.overruns += 1
                 self._next_global += len(evs) - off
@@ -400,27 +491,45 @@ class PacketRing:
             slot_id = self._free.pop(0)
             slot = self._slots[slot_id]
             n = len(chunk)
-
-            xy = slot["xy"]
-            np.left_shift(
-                chunk["y"].astype(np.uint32), 16, out=xy[:n], casting="unsafe"
-            )
-            np.bitwise_or(xy[:n], chunk["x"].astype(np.uint32), out=xy[:n])
-
-            tp = slot["tp"]
             t64 = chunk["t"].astype(np.int64, copy=False)
             t_base = int(t64[0])
-            np.subtract(t64, t_base, out=tp[:n], casting="unsafe")
-            np.bitwise_or(
-                tp[:n],
-                (chunk["p"].astype(np.int32) & 1) << _P_SHIFT,
-                out=tp[:n],
-            )
 
-            # stale lanes beyond n are never addressed (per-slot counts
-            # bound the assembly gather), so only [:n] must be fresh;
-            # ship the full slot so every packet has one static shape
-            xy_d, tp_d = jax.device_put((xy, tp), self.device)
+            if self.layout is not None:
+                # ONE packed word/event: x | y << bx | t_rel << (bx+by).
+                # Polarity carries no bit -- the upstream polarity filter
+                # already dropped p == 0 (RingLayout contract).
+                bx, by = self.layout.bits_x, self.layout.bits_y
+                w = slot["w"]
+                np.subtract(t64, t_base, out=w[:n], casting="unsafe")
+                np.left_shift(w[:n], bx + by, out=w[:n])
+                np.bitwise_or(w[:n], chunk["x"].astype(np.uint32), out=w[:n])
+                np.bitwise_or(
+                    w[:n],
+                    chunk["y"].astype(np.uint32) << np.uint32(bx),
+                    out=w[:n],
+                )
+                xy_d = jax.device_put(w, self.device)
+                tp_d = None
+            else:
+                xy = slot["xy"]
+                np.left_shift(
+                    chunk["y"].astype(np.uint32), 16,
+                    out=xy[:n], casting="unsafe",
+                )
+                np.bitwise_or(xy[:n], chunk["x"].astype(np.uint32), out=xy[:n])
+
+                tp = slot["tp"]
+                np.subtract(t64, t_base, out=tp[:n], casting="unsafe")
+                np.bitwise_or(
+                    tp[:n],
+                    (chunk["p"].astype(np.int32) & 1) << _P_SHIFT,
+                    out=tp[:n],
+                )
+                # stale lanes beyond n are never addressed (per-slot
+                # counts bound the assembly gather), so only [:n] must be
+                # fresh; ship the full slot for one static shape
+                xy_d, tp_d = jax.device_put((xy, tp), self.device)
+
             self._live.append(
                 RingPacket(
                     xy=xy_d,
@@ -433,6 +542,7 @@ class PacketRing:
             )
             self._next_global += n
             self.packets_staged += 1
+            off = end
         return True
 
     def skip_events(self, num_events: int):

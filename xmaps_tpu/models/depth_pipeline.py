@@ -71,7 +71,9 @@ class XMapsDepthEngine:
 
         from xmaps_tpu.io.prefetch import (
             CompactLayout,
+            RingLayout,
             assemble_ring_frame,
+            assemble_ring_frame_compact,
             unpack_staged,
             unpack_staged_compact,
         )
@@ -112,6 +114,33 @@ class XMapsDepthEngine:
             )
 
         self._ring_fn = jax.jit(functools.partial(ring_frame, cfg=self.cfg))
+
+        # compact (one-word) ring staging: valid whenever the camera dims
+        # leave >= 13 t_rel bits (io.prefetch.RingLayout) -- the pipe
+        # stages post-polarity-filter, satisfying the p == 1 contract
+        self.ring_layout = RingLayout.for_camera(
+            self.cfg.camera_width, self.cfg.camera_height
+        )
+        self._ring_compact_fn = None
+        if self.ring_layout is not None:
+            rlayout = self.ring_layout
+
+            def ring_frame_compact(ws, meta, tables, cfg):
+                batch = assemble_ring_frame_compact(
+                    ws, meta, cfg.event_capacity, rlayout
+                )
+                return depth_frame(
+                    batch,
+                    tables,
+                    cfg,
+                    tail_plan=self.tail_plan,
+                    event_plan=self.event_plan,
+                    display_only=True,
+                )
+
+            self._ring_compact_fn = jax.jit(
+                functools.partial(ring_frame_compact, cfg=self.cfg)
+            )
 
         # 1-word-per-event staging layout (pure geometry; None if the
         # dims don't fit 32 bits).  The jitted consumer exists only for
@@ -441,6 +470,11 @@ class XMapsDepthEngine:
 
         k = len(packets)
         assert 0 < k <= K and meta.shape == (3, k), (k, meta.shape)
+        if packets[0].tp is None:
+            # compact one-word packets (PacketRing built with RingLayout)
+            assert self._ring_compact_fn is not None
+            ws = tuple(p.xy for p in packets)
+            return self._ring_compact_fn(ws, meta, self.tables)
         xys = tuple(p.xy for p in packets)
         tps = tuple(p.tp for p in packets)
         return self._ring_fn(xys, tps, meta, self.tables)

@@ -82,8 +82,19 @@ class DepthReprojectionPipe:
             depth=2,
             layout=self.engine.compact_layout,
         )
+        # Slot capacity tracks the arrival-packet size (a quarter frame,
+        # EV_PACKETS_PER_FRAME), not the frame capacity: every staged
+        # packet ships its full slot for one static shape, so oversized
+        # slots cost link bytes on every packet.  The compact RingLayout
+        # (one u32/event; polarity is implied by the upstream filter)
+        # halves the bytes again when the camera dims permit.
         self.ring = (
-            PacketRing(packet_capacity=self.engine.cfg.event_capacity // 2)
+            PacketRing(
+                packet_capacity=max(
+                    2048, self.engine.cfg.event_capacity // 4
+                ),
+                layout=self.engine.ring_layout,
+            )
             if self.prestage
             else None
         )
