@@ -115,11 +115,9 @@ def main():
             jitter_us=2.0,
             rng=rng,
         )
-        frames.append(
-            EventBatch.from_structured_sorted(ev, engine.cfg.event_capacity)
-        )
+        frames.append(engine.make_sorted_batch(ev))
     frames = [jax.device_put(bp, dev) for bp in frames]
-    n_events = int(np.mean([int(b.count) for b, _ in frames]))
+    n_events = int(np.mean([int(b.count) for b, _, _ in frames]))
 
     from xmaps_tpu.ops.frame_pipeline import depth_frame
 
@@ -134,9 +132,9 @@ def main():
     # program (process_frame API) additionally stores both f32 maps and
     # costs ~30 us more per frame.
     fn = jax.jit(
-        lambda b, prio: depth_frame(
+        lambda b, prio, bands: depth_frame(
             b, tables, cfg, tail_plan=tp, event_plan=ep,
-            presort_priority=prio, display_only=True,
+            presort_priority=prio, presort_bands=bands, display_only=True,
         )
     )
 
@@ -149,9 +147,9 @@ def main():
     # compute; the batched measurement below is the compute-bound figure.
     lat = []
     for i in range(60):
-        b, prio = frames[i % len(frames)]
+        b, prio, bands = frames[i % len(frames)]
         t0 = time.perf_counter()
-        out = fn(b, prio)
+        out = fn(b, prio, bands)
         jax.block_until_ready(out)
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.percentile(lat, 50) * 1e3)
@@ -174,9 +172,10 @@ def main():
                 tail_plan=tp,
                 event_plan=ep,
                 presort_priority=prio,
+                presort_bands=bands,
                 display_only=True,
             )
-            for b, prio in bs
+            for b, prio, bands in bs
         ]
 
     out = run_group(frames)

@@ -35,6 +35,8 @@ def main(argv=None):
     ap.add_argument("--events", type=int, default=28 * 1024)
     ap.add_argument("--no-pallas-events", action="store_true")
     ap.add_argument("--no-pallas-tail", action="store_true")
+    ap.add_argument("--tail-tile", type=int, default=0,
+                    help="tail output tile height (0 = default 128)")
     ap.add_argument("--rounds", type=int, nargs=2, default=(6, 30))
     args = ap.parse_args(argv)
 
@@ -93,6 +95,7 @@ def main(argv=None):
         xmap_cache_dir=os.path.expanduser("~/.cache/xmaps_tpu"),
         use_pallas_events=False if args.no_pallas_events else None,
         use_pallas_tail=False if args.no_pallas_tail else None,
+        tail_tile=(args.tail_tile, 128) if args.tail_tile else None,
     )
     setup_s = time.perf_counter() - t0
 
@@ -111,15 +114,17 @@ def main(argv=None):
             )
             ev = ev[keep]
         if engine.event_plan is not None:
-            frames.append(
-                EventBatch.from_structured_sorted(ev, engine.cfg.event_capacity)
-            )
+            frames.append(engine.make_sorted_batch(ev))
         else:
             frames.append(
-                (EventBatch.from_structured(ev, engine.cfg.event_capacity), None)
+                (
+                    EventBatch.from_structured(ev, engine.cfg.event_capacity),
+                    None,
+                    None,
+                )
             )
     frames = [jax.device_put(bp, dev) for bp in frames]
-    n_events = int(np.mean([int(b.count) for b, _ in frames]))
+    n_events = int(np.mean([int(b.count) for b, _, _ in frames]))
 
     tables, cfg = engine.tables, engine.cfg
     tp, ep = engine.tail_plan, engine.event_plan
@@ -129,9 +134,10 @@ def main(argv=None):
         return [
             depth_frame(
                 b, tables, cfg, tail_plan=tp, event_plan=ep,
-                presort_priority=prio, display_only=True,
+                presort_priority=prio, presort_bands=bands,
+                display_only=True,
             )
-            for b, prio in bs
+            for b, prio, bands in bs
         ]
 
     t0 = time.perf_counter()

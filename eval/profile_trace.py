@@ -14,6 +14,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--geometry", choices=["demo", "esl"], default="demo")
+    ap.add_argument("--display-only", action="store_true")
+    args = ap.parse_args()
+
     import jax
 
     jax.config.update(
@@ -30,11 +37,24 @@ def main():
 
     dev = jax.devices()[0]
     jax.block_until_ready(jax.device_put(np.zeros(8, np.float32), dev) + 1)
+    jax.block_until_ready(jax.device_put(np.zeros(32 << 20, np.uint8), dev))
 
-    calib = make_synthetic_calibration(
-        camera_width=640, camera_height=480,
-        projector_width=720, projector_height=1280,
-    )
+    if args.geometry == "esl":
+        # the paper's eval rig (see eval/bench_geometry.py)
+        import dataclasses
+
+        calib = make_synthetic_calibration(
+            camera_width=640, camera_height=480,
+            projector_width=1080, projector_height=1920,
+        )
+        calib = dataclasses.replace(
+            calib, rect_image_width=3 * 1080, rect_image_height=3 * 1920
+        )
+    else:
+        calib = make_synthetic_calibration(
+            camera_width=640, camera_height=480,
+            projector_width=720, projector_height=1280,
+        )
     engine = XMapsDepthEngine.from_calibration(
         calib, event_capacity=28 * 1024, z_near=0.2, z_far=1.2,
         xmap_cache_dir=os.path.expanduser("~/.cache/xmaps_tpu"),
@@ -44,19 +64,30 @@ def main():
     )
     rng = np.random.default_rng(7)
     frames = []
-    for i in range(24):
+    n_group = 12 if args.geometry == "esl" else 24
+    for i in range(n_group):
         ev = simulate_plane_events(
             calib, depth_m=0.45 + 0.02 * i, subsample=0.031,
             jitter_us=2.0, rng=rng,
         )
-        frames.append(EventBatch.from_structured(ev, cfg.event_capacity))
+        if len(ev) > cfg.event_capacity - 1024:
+            keep = np.sort(rng.choice(
+                len(ev), size=cfg.event_capacity - 1024, replace=False
+            ))
+            ev = ev[keep]
+        frames.append(engine.make_sorted_batch(ev))
     frames = [jax.device_put(b, dev) for b in frames]
+    disp_only = bool(args.display_only)
 
     @jax.jit
     def run_group(bs):
         return [
-            depth_frame(b, tables, cfg, tail_plan=tp, event_plan=ep)
-            for b in bs
+            depth_frame(
+                b, tables, cfg, tail_plan=tp, event_plan=ep,
+                presort_priority=prio, presort_bands=bands,
+                display_only=disp_only,
+            )
+            for b, prio, bands in bs
         ]
 
     out = run_group(frames)
@@ -102,9 +133,9 @@ def main():
     total = sum(agg.values())
     rows = sorted(agg.items(), key=lambda kv: -kv[1])[:30]
     print(f"# pids: {pid_names}")
-    print(f"# total traced us (3 groups of 24 frames): {total:.0f}")
+    print(f"# total traced us (3 groups): {total:.0f}")
     for name, dur in rows:
-        per_frame = dur / (3 * 24)
+        per_frame = dur / (3 * n_group)
         print(f"{per_frame:9.1f} us/frame  x{cnt[name]:5d}  {name[:110]}")
 
 

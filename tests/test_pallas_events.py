@@ -158,6 +158,58 @@ def test_hbm_full_frame_bit_exact(rig, camera_perspective):
     assert int(got.num_inliers) == int(ref.num_inliers)
 
 
+def test_hbm_host_sorted_bands_bit_exact(rig):
+    """Rectified-row host sort + exact per-block band bounds
+    (engine.make_sorted_batch for HBM plans) must reproduce the XLA path
+    bit-for-bit, padding lanes included."""
+    engine, batch, plan = rig
+    old = engine.event_plan
+    try:
+        engine.event_plan = build_event_gather_hbm_plan(
+            engine.tables.cam_map_packed, engine.x_map_np, band_rows=32
+        )
+        ev = simulate_plane_events(
+            make_synthetic_calibration(
+                camera_width=128, camera_height=96,
+                projector_width=96, projector_height=128,
+            ),
+            depth_m=0.55, subsample=0.4, jitter_us=2.0,
+            rng=np.random.default_rng(17),
+        )
+        b, prio, bands = engine.make_sorted_batch(ev)
+        assert bands is not None and bands.shape[1] == 2
+        # the sort key is the clipped rectified row
+        yr = np.asarray(
+            engine.maps.disp_cam_mapy_i16[ev["y"], ev["x"]], np.int32
+        )
+        yr = np.clip(yr, 0, engine.x_map_np.shape[0] - 1)
+        order = np.asarray(prio)[: len(ev)]
+        assert (np.diff(yr[order]) >= 0).all()
+
+        ref = depth_frame(
+            EventBatch.from_structured(ev, CAPACITY),
+            engine.tables,
+            engine.cfg,
+        )
+        got = depth_frame(
+            b, engine.tables, engine.cfg,
+            event_plan=engine.event_plan, pallas_interpret=True,
+            presort_priority=prio, presort_bands=bands,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.disp_map), np.asarray(ref.disp_map)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.depth), np.asarray(ref.depth)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.frame_bgr), np.asarray(ref.frame_bgr)
+        )
+        assert int(got.num_inliers) == int(ref.num_inliers)
+    finally:
+        engine.event_plan = old
+
+
 def test_float_t_falls_back(rig):
     """The eval path (float normalized timestamps) must silently use the
     XLA path even when an event plan is passed."""

@@ -185,6 +185,7 @@ class XMapsDepthEngine:
         use_device_xmap_build: bool = True,
         use_pallas_tail: Optional[bool] = None,
         use_pallas_events: Optional[bool] = None,
+        tail_tile: Optional[tuple] = None,
     ) -> "XMapsDepthEngine":
         import time as _time
 
@@ -261,6 +262,7 @@ class XMapsDepthEngine:
                 p03=float(maps.P2[0, 3]),
                 z_near=z_near,
                 z_far=z_far,
+                **({"tile": tuple(tail_tile)} if tail_tile else {}),
             )
 
         if use_pallas_events is None:
@@ -366,6 +368,52 @@ class XMapsDepthEngine:
     def make_batch(self, events: np.ndarray) -> EventBatch:
         return EventBatch.from_structured(events, self.cfg.event_capacity)
 
+    def make_sorted_batch(self, events: np.ndarray):
+        """Host-staged batch in the event kernel's preferred order, plus
+        the carried priorities and (for HBM plans) exact per-block X-map
+        row bands.
+
+        Resident-table plans sort by raw y.  HBM plans sort by the
+        RECTIFIED row (one host LUT lookup per event, folded into the
+        staging copy): a 1024-event block then spans the events' true
+        X-map row range instead of the conservative raw-row envelope,
+        roughly halving the banded gather's work at the ESL eval
+        geometry.  The exact bounds ship as a (n/BLOCK, 2) i32 array.
+
+        Returns (batch, priority, bands); bands is None for resident
+        plans.  Results are bit-identical regardless of sort order (the
+        priority carries the arrival index).
+        """
+        from xmaps_tpu.ops.pallas_events import BLOCK, EventGatherHBMPlan
+
+        if not isinstance(self.event_plan, EventGatherHBMPlan):
+            batch, prio = EventBatch.from_structured_sorted(
+                events, self.cfg.event_capacity
+            )
+            return batch, prio, None
+
+        cap = self.cfg.event_capacity
+        n = min(len(events), cap)
+        events = events[:n]
+        mapy = self.maps.disp_cam_mapy_i16
+        xmap_h = self.x_map_np.shape[0]
+        yg = np.clip(
+            mapy[events["y"], events["x"]].astype(np.int32), 0, xmap_h - 1
+        )
+        batch, prio = EventBatch.from_structured_sorted(events, cap, key=yg)
+
+        # padding lanes rectify (0, 0); include them where they appear
+        yg_sorted = np.full(cap, np.clip(int(mapy[0, 0]), 0, xmap_h - 1),
+                            np.int32)
+        yg_sorted[:n] = np.sort(yg, kind="stable")
+        blocks = yg_sorted.reshape(cap // BLOCK, BLOCK)
+        lo = blocks.min(axis=1)
+        hi = blocks.max(axis=1)
+        bands = np.stack(
+            [(lo // 8) * 8, hi // 8 + 1 - lo // 8], axis=1
+        ).astype(np.int32)
+        return batch, prio, jnp.asarray(bands)
+
     def process_frame(self, events: np.ndarray) -> FrameResult:
         """events: structured array with x/y/t/p (one projector frame)."""
         return self._frame_fn(self.make_batch(events), self.tables)
@@ -393,15 +441,14 @@ class XMapsDepthEngine:
             self.event_plan is not None and self.cfg.frame_filter == "none"
         )
         if presort:
-            staged = [
-                EventBatch.from_structured_sorted(
-                    ev, self.cfg.event_capacity
-                )
-                for ev in frames
-            ]
+            staged = [self.make_sorted_batch(ev) for ev in frames]
         else:
             staged = [
-                (EventBatch.from_structured(ev, self.cfg.event_capacity), None)
+                (
+                    EventBatch.from_structured(ev, self.cfg.event_capacity),
+                    None,
+                    None,
+                )
                 for ev in frames
             ]
         fn = self._group_fn(len(frames), presort)
@@ -427,8 +474,9 @@ class XMapsDepthEngine:
                         tail_plan=self.tail_plan,
                         event_plan=self.event_plan,
                         presort_priority=prio,
+                        presort_bands=bands,
                     )
-                    for b, prio in staged
+                    for b, prio, bands in staged
                 ]
 
             cache[key] = jax.jit(functools.partial(group, cfg=self.cfg))

@@ -18,6 +18,7 @@ practice; float32 timestamps (the offline ESL eval path) use float math.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -140,6 +141,7 @@ def compute_event_disparity_pallas(
     t_px_scale: int,
     t_scaled: jax.Array | None = None,
     presorted_priority: jax.Array | None = None,
+    presorted_bands: jax.Array | None = None,
     interpret: bool = False,
 ):
     """Per-event disparity stage through the fused Pallas gather kernel.
@@ -167,11 +169,16 @@ def compute_event_disparity_pallas(
         rectify_and_lookup_hbm,
     )
 
-    lookup = (
-        rectify_and_lookup_hbm
-        if isinstance(plan, EventGatherHBMPlan)
-        else rectify_and_lookup
-    )
+    is_hbm = isinstance(plan, EventGatherHBMPlan)
+    if presorted_bands is not None:
+        assert is_hbm and presorted_priority is not None, (
+            "host band bounds require the HBM plan and a host-sorted batch"
+        )
+        lookup = functools.partial(
+            rectify_and_lookup_hbm, band_bounds=presorted_bands
+        )
+    else:
+        lookup = rectify_and_lookup_hbm if is_hbm else rectify_and_lookup
 
     if t_scaled is None:
         t_min, t_max = time_bounds(batch.t, batch.valid)

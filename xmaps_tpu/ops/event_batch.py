@@ -94,9 +94,10 @@ class EventBatch(NamedTuple):
 
     @staticmethod
     def from_structured_sorted(
-        evs: np.ndarray, capacity: int
+        evs: np.ndarray, capacity: int, key: np.ndarray | None = None
     ) -> tuple["EventBatch", jax.Array]:
-        """Build a batch pre-sorted by raw y, plus the carried priorities.
+        """Build a batch pre-sorted by raw y (or ``key``), plus the
+        carried priorities.
 
         The fused Pallas event kernel wants events y-sorted so its banded
         table walk touches few row groups; sorting during host staging
@@ -105,6 +106,13 @@ class EventBatch(NamedTuple):
         priority[i] is the event's original arrival index -- pass both to
         the frame program (depth_frame(presort_priority=...)) for results
         bit-identical to the device-sorted path.
+
+        ``key`` (per-event, same length as evs) overrides the sort key:
+        the engine passes the RECTIFIED row (a host LUT lookup), which
+        tightens each block's X-map row band to the events' true span --
+        the sort key only affects performance, never results, because
+        every downstream consumer resolves winners through the carried
+        priority.
 
         Timestamps must be rebased BEFORE sorting (the device path rebases
         to the arrival-first event), so this mirrors from_arrays' rebase
@@ -115,7 +123,10 @@ class EventBatch(NamedTuple):
         t_rel = np.asarray(evs["t"], dtype=np.int64)
         if n:
             t_rel = t_rel - t_rel[0]
-        order = np.argsort(evs["y"][:n], kind="stable")
+        order = np.argsort(
+            evs["y"][:n] if key is None else np.asarray(key)[:n],
+            kind="stable",
+        )
         batch = EventBatch.from_arrays(
             np.asarray(evs["x"])[order],
             np.asarray(evs["y"])[order],

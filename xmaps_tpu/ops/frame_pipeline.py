@@ -80,6 +80,7 @@ def depth_frame(
     pallas_interpret: bool = False,
     t_scaled=None,
     presort_priority=None,
+    presort_bands=None,
     display_only: bool = False,
 ) -> FrameResult:
     """One projector frame of events -> colorized depth map.
@@ -127,10 +128,13 @@ def depth_frame(
         and jnp.issubdtype(batch.t.dtype, jnp.integer)
     )
 
-    if presort_priority is not None and not use_pallas_events:
+    if (
+        presort_priority is not None or presort_bands is not None
+    ) and not use_pallas_events:
         raise ValueError(
-            "presort_priority is only consumed by the Pallas event path "
-            "(event_plan set, no frame filter, integer timestamps)"
+            "presort_priority/presort_bands are only consumed by the "
+            "Pallas event path (event_plan set, no frame filter, integer "
+            "timestamps)"
         )
 
     if use_pallas_events:
@@ -140,6 +144,7 @@ def depth_frame(
             t_px_scale=cfg.t_px_scale,
             t_scaled=t_scaled,
             presorted_priority=presort_priority,
+            presorted_bands=presort_bands,
             interpret=pallas_interpret,
         )
     else:
@@ -222,8 +227,10 @@ def depth_frame(
     else:
         if tail_plan is not None:
             # fused path: scatter the packed map directly at the tail
-            # kernel's padded dims; the kernel unpacks in-band (saves two
-            # full-image passes: unpack + pad)
+            # kernel's padded CROP dims (the kernel never reads outside
+            # its crop window; targets beyond it are invisible) and let
+            # the kernel unpack in-band (saves two full-image passes:
+            # unpack + pad)
             from xmaps_tpu.ops.pallas_tail import pallas_tail
 
             packed_map = scatter_disp_packed(
@@ -236,6 +243,12 @@ def depth_frame(
                 priority=priority,
                 pad_shape=(tail_plan.H_pad, tail_plan.W_pad),
                 method=scatter_method,
+                window=(
+                    tail_plan.crop_row0,
+                    tail_plan.crop_col0,
+                    tail_plan.H,
+                    tail_plan.W,
+                ),
             )
             frame, depth, disp_map = pallas_tail(
                 packed_map,

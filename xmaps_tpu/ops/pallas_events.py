@@ -65,39 +65,57 @@ def _round_up(v: int, m: int) -> int:
 
 
 def tables_fit_vmem(cam_shape, xmap_shape) -> bool:
-    """Whether the padded int32 LUT + X-map fit the kernel's VMEM budget.
+    """Whether the padded int32 LUT + pair-packed X-map fit the kernel's
+    VMEM budget.
 
-    Large rigs (e.g. the ESL eval's 3x-projector rectification, whose
-    X-map is (5760, 1152) i32 = 26 MB) must fall back to the XLA gather
-    path instead of failing Mosaic compilation."""
+    The X-map stores TWO i16 entries per i32 word (adjacent time bins;
+    values are < 2^15 so both halves extract exactly), so its footprint
+    is half the naive i32 table.  Rigs that still exceed the budget
+    (e.g. the ESL eval's (5760, 1080) X-map, 13 MB packed) use the
+    HBM-banded variant instead of failing Mosaic compilation."""
     cam_bytes = _round_up(cam_shape[0], 8) * _round_up(cam_shape[1], 128) * 4
-    xmap_bytes = _round_up(xmap_shape[0], 8) * _round_up(xmap_shape[1], 128) * 4
+    xmap_bytes = (
+        _round_up(xmap_shape[0], 8)
+        * _round_up(-(-xmap_shape[1] // 2), 128)
+        * 4
+    )
     return cam_bytes + xmap_bytes <= TABLE_VMEM_BUDGET
+
+
+def _pack_xmap_pairs(x_map: np.ndarray) -> np.ndarray:
+    """(H, W) X-map -> (H_pad8, ceil(W/2)_pad128) i32 with word j holding
+    entries 2j (low half) and 2j+1 (high half).  Entries are in
+    [0, X_OFFSET + W_rect) < 2^15, so both halves are sign-free."""
+    xm = np.asarray(x_map).astype(np.int32)
+    Hx, Wx = xm.shape
+    assert xm.min() >= 0 and xm.max() < (1 << 15), "X-map exceeds u15"
+    Wp = -(-Wx // 2)
+    pairs = np.zeros((_round_up(Hx, 8), _round_up(Wp, 128)), np.int32)
+    pairs[:Hx, : Wx - Wx // 2] = xm[:, 0::2]
+    pairs[:Hx, : Wx // 2] |= xm[:, 1::2] << 16
+    return pairs
 
 
 class EventGatherPlan(NamedTuple):
     """Padded int32 device tables for the event gather kernel."""
 
     cam_lut: jax.Array  # (Hc_pad, Wc_pad) i32: mapy<<16 | (mapx & 0xffff)
-    x_map: jax.Array  # (Hx_pad, Wx_pad) i32
+    x_map: jax.Array  # (Hx_pad, ceil(Wx/2)_pad) i32, TWO entries per word
     cam_h: int
     cam_w: int
     xmap_h: int
-    xmap_w: int
+    xmap_w: int  # ORIGINAL time-bin count (clipping bound)
 
 
 def build_event_gather_plan(cam_map_packed, x_map) -> EventGatherPlan:
     cam = np.asarray(cam_map_packed)
-    xm = np.asarray(x_map).astype(np.int32)
     Hc, Wc = cam.shape
-    Hx, Wx = xm.shape
+    Hx, Wx = np.asarray(x_map).shape
     cam_p = np.zeros((_round_up(Hc, 8), _round_up(Wc, 128)), np.int32)
     cam_p[:Hc, :Wc] = cam
-    xm_p = np.zeros((_round_up(Hx, 8), _round_up(Wx, 128)), np.int32)
-    xm_p[:Hx, :Wx] = xm
     return EventGatherPlan(
         cam_lut=jnp.asarray(cam_p),
-        x_map=jnp.asarray(xm_p),
+        x_map=jnp.asarray(_pack_xmap_pairs(x_map)),
         cam_h=Hc,
         cam_w=Wc,
         xmap_h=Hx,
@@ -171,12 +189,16 @@ def _event_kernel(
     xr_ref[:] = xr
     yr_ref[:] = yr
 
-    # --- X-map lookup ---------------------------------------------------
+    # --- X-map lookup (pair-packed: word j = entries 2j | 2j+1 << 16,
+    # halving the per-row-group column-group loop) ----------------------
     yg = jnp.clip(yr, 0, xmap_h - 1)
     tg = jnp.clip(t, 0, xmap_w - 1)
-    xproj_ref[:] = _banded_gather(
-        x_map_ref, yg, tg, xmap_colgroups, jnp.zeros(yg.shape, jnp.int32)
+    word = _banded_gather(
+        x_map_ref, yg, tg >> 1, xmap_colgroups,
+        jnp.zeros(yg.shape, jnp.int32),
     )
+    # entries are < 2^15, so the arithmetic extracts are exact
+    xproj_ref[:] = jnp.where((tg & 1) == 1, word >> 16, word & 0xFFFF)
 
 
 class EventGatherHBMPlan(NamedTuple):
@@ -197,13 +219,14 @@ class EventGatherHBMPlan(NamedTuple):
     """
 
     cam_lut: jax.Array  # (Hc_pad, Wc_pad) i32: mapy<<16 | (mapx & 0xffff)
-    x_map_hbm: jax.Array  # (Hx_pad + band_rows, Wx_pad) i32, HBM-resident
+    #: (Hx_pad + band_rows, ceil(Wx/2)_pad) i32 pair-packed X-map in HBM
+    x_map_hbm: jax.Array
     lo_env: jax.Array  # (Hc,) i32: min clipped X-map row for raw rows >= y
     hi_env: jax.Array  # (Hc,) i32: max clipped X-map row for raw rows <= y
     cam_h: int
     cam_w: int
     xmap_h: int
-    xmap_w: int
+    xmap_w: int  # ORIGINAL time-bin count (clipping bound)
     band_rows: int
 
 
@@ -215,17 +238,16 @@ def build_event_gather_hbm_plan(
     traffic for fewer (rare) extra-chunk stalls."""
     assert band_rows % 8 == 0
     cam = np.asarray(cam_map_packed)
-    xm = np.asarray(x_map).astype(np.int32)
     Hc, Wc = cam.shape
-    Hx, Wx = xm.shape
+    Hx, Wx = np.asarray(x_map).shape
     cam_p = np.zeros((_round_up(Hc, 8), _round_up(Wc, 128)), np.int32)
     cam_p[:Hc, :Wc] = cam
-    # rows padded by one extra band so the last chunk's static-height DMA
-    # stays in bounds for any 8-aligned base below the real row range
-    xm_p = np.zeros(
-        (_round_up(Hx, 8) + band_rows, _round_up(Wx, 128)), np.int32
-    )
-    xm_p[:Hx, :Wx] = xm
+    # pair-packed rows (halved width = halved DMA bytes per band), padded
+    # by one extra band so the last chunk's static-height DMA stays in
+    # bounds for any 8-aligned base below the real row range
+    pairs = _pack_xmap_pairs(x_map)
+    xm_p = np.zeros((pairs.shape[0] + band_rows, pairs.shape[1]), np.int32)
+    xm_p[: pairs.shape[0]] = pairs
 
     # Per-raw-row envelope of clip(mapy, 0, Hx-1) over the full x range,
     # monotonized into suffix-min / prefix-max so a block's [ymin, ymax]
@@ -306,12 +328,15 @@ def _event_kernel_hbm(
     xr_ref[:] = xr
     yr_ref[:] = yr
 
-    # --- X-map lookup from the streamed band --------------------------
+    # --- X-map lookup from the streamed band (pair-packed: word j =
+    # entries 2j | 2j+1 << 16, halving both the column-group loop and
+    # the DMA bytes per band) ------------------------------------------
     yg = jnp.clip(yr, 0, xmap_h - 1)
     tg = jnp.clip(t, 0, xmap_w - 1)
-    cgi = tg >> 7
+    jw = tg >> 1
+    cgi = jw >> 7
     key = yg * xmap_colgroups + cgi
-    l_cg = tg & 127
+    l_cg = jw & 127
 
     base0 = base_ref[i]
     groups = groups_ref[i]
@@ -359,7 +384,8 @@ def _event_kernel_hbm(
         return gather_chunk(eb, band.at[2], ng, acc)
 
     acc = jax.lax.fori_loop(1, nchunks, extra, acc)
-    xproj_ref[:] = acc
+    # entries are < 2^15, so the arithmetic extracts are exact
+    xproj_ref[:] = jnp.where((tg & 1) == 1, acc >> 16, acc & 0xFFFF)
 
 
 def rectify_and_lookup_hbm(
@@ -368,10 +394,17 @@ def rectify_and_lookup_hbm(
     t_scaled: jax.Array,
     plan: EventGatherHBMPlan,
     interpret: bool = False,
+    band_bounds: jax.Array | None = None,
 ):
     """Large-table variant of :func:`rectify_and_lookup`: same contract and
     bit-identical results, with the X-map streamed from HBM per block.
-    Sort events by raw y first for performance (not correctness)."""
+    Sort events by raw y first for performance (not correctness).
+
+    ``band_bounds``: optional (n/BLOCK, 2) int32 [8-aligned row base,
+    row-group count] per block, exact bounds computed by the host when it
+    sorted the batch by RECTIFIED row (XMapsDepthEngine.make_sorted_batch)
+    -- tighter than the on-device raw-row envelope bound, which must
+    assume each camera row's full x-spread."""
     n = x.shape[0]
     assert n % BLOCK == 0, f"capacity {n} not a multiple of {BLOCK}"
     nb = n // BLOCK
@@ -380,13 +413,17 @@ def rectify_and_lookup_hbm(
     R = plan.band_rows
     RG = R // 8
 
-    # per-block DMA plan from raw rows alone (reduction + two tiny
-    # gathers; no dependence on the rectified values being computed)
-    yb = jnp.clip(y, 0, plan.cam_h - 1).reshape(nb, BLOCK)
-    lo = plan.lo_env[jnp.min(yb, axis=1)]
-    hi = plan.hi_env[jnp.max(yb, axis=1)]
-    base = (lo // 8) * 8
-    groups = hi // 8 + 1 - lo // 8
+    if band_bounds is not None:
+        base = band_bounds[:, 0]
+        groups = band_bounds[:, 1]
+    else:
+        # per-block DMA plan from raw rows alone (reduction + two tiny
+        # gathers; no dependence on the rectified values being computed)
+        yb = jnp.clip(y, 0, plan.cam_h - 1).reshape(nb, BLOCK)
+        lo = plan.lo_env[jnp.min(yb, axis=1)]
+        hi = plan.hi_env[jnp.max(yb, axis=1)]
+        base = (lo // 8) * 8
+        groups = hi // 8 + 1 - lo // 8
 
     def blk(a):
         return a.reshape(rows, 128)

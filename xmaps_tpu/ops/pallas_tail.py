@@ -59,11 +59,26 @@ def _round_up(x: int, m: int) -> int:
 
 @dataclass(frozen=True)
 class TailPlan:
-    """Static gather plan for the fused tail kernel (host-precomputed)."""
+    """Static gather plan for the fused tail kernel (host-precomputed).
 
-    H: int  # rectified image height (unpadded)
-    W: int
-    H_pad: int  # padded rect dims (row0/col0 clamps stay in-bounds)
+    The plan works on a CROP of the rectified frame: the kernel only ever
+    reads rect pixels the projector remap samples (plus the 3-px dilate
+    halo), and at large rigs that window is a small fraction of the rect
+    frame (the ESL eval geometry reads ~1230x720 of 5760x3240 -- 4.7%).
+    Scatter targets outside the crop cannot influence any output pixel
+    (they are > dilate-radius away from every sampled source), so
+    cropping is bit-exact.  ``crop_row0/crop_col0`` locate the crop in
+    full-rect coordinates; the packed scatter map the kernel consumes has
+    the crop's padded dims (ops.scatter window scatter).
+    """
+
+    full_H: int  # full rectified image height
+    full_W: int
+    crop_row0: int  # crop origin in full-rect coordinates
+    crop_col0: int
+    H: int  # crop height (unpadded)
+    W: int  # crop width
+    H_pad: int  # padded crop dims (row0/col0 clamps stay in-bounds)
     W_pad: int
     Hp: int  # output (projector) height
     Wp: int
@@ -104,51 +119,85 @@ def build_tail_plan(
     p03: float,
     z_near: float,
     z_far: float,
-    tile: tuple[int, int] = (128, 128),
+    tile: tuple[int, int] | None = None,
 ) -> TailPlan:
     """Precompute band bounds and the two-pass gather tables.
 
     ``tile`` is the output tile footprint per grid step.  Taller tiles
     amortize the per-step costs (DMA issue, semaphores, grid bookkeeping)
     over more pixels; the width stays at 128 lanes so the per-micro-block
-    band column-group loop stays narrow.
+    band column-group loop stays narrow.  With ``tile=None`` the height
+    is chosen automatically: 128 for demonstrator-scale outputs (the
+    round-2 sweep optimum) and the tallest budget-fitting tile from
+    {960..128} for larger outputs (the ESL eval geometry sweep was
+    monotone up to 960: 0.475 -> 0.434 ms/frame, round 3).
     """
-    TH, TW = tile
-    assert TH % 8 == 0 and TW == 128, "tile width must be one lane group"
+    TW = 128
     Hp, Wp = proj_mapx_i16.shape
-    H, W = rect_height, rect_width
+    if tile is not None:
+        TH, TW = tile
+        candidates = [TH]
+    elif Hp <= 1280:
+        candidates = [128]
+    else:
+        candidates = [960, 640, 384, 256, 128]
+    assert TW == 128, "tile width must be one lane group"
+    full_H, full_W = rect_height, rect_width
 
     X = proj_mapx_i16.astype(np.int64)
     Y = proj_mapy_i16.astype(np.int64)
-    inb = (X >= 0) & (X < W) & (Y >= 0) & (Y < H)
-    Xc = np.clip(X, 0, W - 1)
-    Yc = np.clip(Y, 0, H - 1)
+    inb = (X >= 0) & (X < full_W) & (Y >= 0) & (Y < full_H)
 
-    Hp_pad = _round_up(Hp, TH)
-    Wp_pad = _round_up(Wp, TW)
-    GR, GC = Hp_pad // TH, Wp_pad // TW
+    # Crop the rect frame to the sampled window + the 3-px dilate halo
+    # (see TailPlan docstring -- bit-exact, and at large rigs it shrinks
+    # the scatter map and the band DMAs by an order of magnitude).
+    # Out-of-bounds output pixels clip INTO the crop: their gather reads
+    # are discarded (x_abs = -1), so any in-crop address is fine.
+    if inb.any():
+        r_lo = max(int(Y[inb].min()) - 3, 0)
+        r_hi = min(int(Y[inb].max()) + 3, full_H - 1)
+        c_lo = max(int(X[inb].min()) - 3, 0)
+        c_hi = min(int(X[inb].max()) + 3, full_W - 1)
+    else:
+        r_lo, r_hi, c_lo, c_hi = 0, full_H - 1, 0, full_W - 1
+    H = r_hi - r_lo + 1
+    W = c_hi - c_lo + 1
+    Xc = np.clip(X, c_lo, c_hi) - c_lo
+    Yc = np.clip(Y, r_lo, r_hi) - r_lo
 
     def pad_edge(a, rows, cols):
         return np.pad(a, ((0, rows - a.shape[0]), (0, cols - a.shape[1])), mode="edge")
 
-    Xp = pad_edge(Xc, Hp_pad, Wp_pad)
-    Yp = pad_edge(Yc, Hp_pad, Wp_pad)
-    inbp = pad_edge(inb.astype(np.int8), Hp_pad, Wp_pad).astype(bool)
+    for TH in candidates:
+        Hp_pad = _round_up(Hp, TH)
+        Wp_pad = _round_up(Wp, TW)
+        GR, GC = Hp_pad // TH, Wp_pad // TW
 
-    # per-tile source extents (+3 dilate halo on each side)
-    ty = Yp.reshape(GR, TH, GC, TW)
-    tx = Xp.reshape(GR, TH, GC, TW)
-    ymin = ty.min(axis=(1, 3)) - 3
-    ymax = ty.max(axis=(1, 3)) + 3
-    xmin = tx.min(axis=(1, 3)) - 3
-    xmax = tx.max(axis=(1, 3)) + 3
+        Xp = pad_edge(Xc, Hp_pad, Wp_pad)
+        Yp = pad_edge(Yc, Hp_pad, Wp_pad)
+        inbp = pad_edge(inb.astype(np.int8), Hp_pad, Wp_pad).astype(bool)
 
-    # Band starts must be tile-aligned (Mosaic memref slicing: sublane
-    # tiling 8, lane tiling 128); quantize down and widen the band.
-    row0q = (np.maximum(ymin, 0) // 8) * 8
-    col0q = (np.maximum(xmin, 0) // 128) * 128
-    RB = _round_up(int((ymax - row0q).max()) + 1, 8)
-    CB = _round_up(int((xmax - col0q).max()) + 1, 128)
+        # per-tile source extents (+3 dilate halo on each side)
+        ty = Yp.reshape(GR, TH, GC, TW)
+        tx = Xp.reshape(GR, TH, GC, TW)
+        ymin = ty.min(axis=(1, 3)) - 3
+        ymax = ty.max(axis=(1, 3)) + 3
+        xmin = tx.min(axis=(1, 3)) - 3
+        xmax = tx.max(axis=(1, 3)) + 3
+
+        # Band starts must be tile-aligned (Mosaic memref slicing: sublane
+        # tiling 8, lane tiling 128); quantize down and widen the band.
+        row0q = (np.maximum(ymin, 0) // 8) * 8
+        col0q = (np.maximum(xmin, 0) // 128) * 128
+        RB = _round_up(int((ymax - row0q).max()) + 1, 8)
+        CB = _round_up(int((xmax - col0q).max()) + 1, 128)
+        # scratch budget: 2 band slots + dilated band (i32/f32) + 4 yhat
+        # slots (i16) + output tiles; leave the rest of VMEM to Mosaic
+        vmem_est = (
+            3 * RB * CB * 4 + 4 * TH * CB * 2 + 6 * TH * TW * 4
+        )
+        if vmem_est <= 7 * 2**20:
+            break
     H_pad = _round_up(max(H, RB), 8)
     W_pad = _round_up(max(W, CB), 128)
 
@@ -225,6 +274,7 @@ def build_tail_plan(
     qbase = np.minimum(qbase, max(RB - QH * 8, 0)).astype(np.int32)
 
     return TailPlan(
+        full_H=full_H, full_W=full_W, crop_row0=r_lo, crop_col0=c_lo,
         H=H, W=W, H_pad=H_pad, W_pad=W_pad,
         Hp=Hp, Wp=Wp, Hp_pad=Hp_pad, Wp_pad=Wp_pad,
         TH=TH, TW=TW,
@@ -714,10 +764,16 @@ def pallas_tail(
         disp_pad = disp_rect
         band_dtype = disp_rect.dtype
     else:
-        H, W = disp_rect.shape
-        assert (H, W) == (plan.H, plan.W)
+        assert disp_rect.shape == (plan.full_H, plan.full_W)
+        # slice the plan's crop out of the full rect map (bit-exact: the
+        # kernel never reads outside it -- see TailPlan docstring)
+        crop = jax.lax.slice(
+            disp_rect,
+            (plan.crop_row0, plan.crop_col0),
+            (plan.crop_row0 + plan.H, plan.crop_col0 + plan.W),
+        )
         disp_pad = jnp.pad(
-            disp_rect, ((0, plan.H_pad - H), (0, plan.W_pad - W))
+            crop, ((0, plan.H_pad - plan.H), (0, plan.W_pad - plan.W))
         )
         band_dtype = jnp.float32
 

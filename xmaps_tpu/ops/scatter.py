@@ -43,6 +43,7 @@ def scatter_disp_packed(
     priority: jax.Array | None = None,
     pad_shape: tuple[int, int] | None = None,
     method: str = "max",
+    window: tuple[int, int, int, int] | None = None,
 ) -> jax.Array:
     """Scatter index-packed disparities; returns the packed uint32 map.
 
@@ -72,19 +73,31 @@ def scatter_disp_packed(
       would pick the wrong winner.
     """
     n = ys.shape[0]
-    out_h, out_w = pad_shape if pad_shape is not None else (height, width)
-    assert out_h >= height and out_w >= width
+    if window is not None:
+        # Scatter into a CROP of the logical (height, width) frame: the
+        # map covers rows [oy, oy+wh) x cols [ox, ox+ww); targets outside
+        # are dropped (callers guarantee they are invisible -- e.g. the
+        # tail kernel's crop window, ops.pallas_tail.TailPlan).
+        oy, ox, wh, ww = window
+        assert 0 <= oy and oy + wh <= height and 0 <= ox and ox + ww <= width
+    else:
+        oy = ox = 0
+        wh, ww = height, width
+    out_h, out_w = pad_shape if pad_shape is not None else (wh, ww)
+    assert out_h >= wh and out_w >= ww
     if isinstance(index_offset, int):
         assert (n + index_offset + 1) * PACK < 2**32, (
             f"event capacity {n} overflows the uint32 PACK packing"
         )
     disp_i = disp.astype(jnp.int32)
+    ysc = ys - oy
+    xsc = xs - ox
     ok = (
         inlier
-        & (ys >= 0)
-        & (ys < height)
-        & (xs >= 0)
-        & (xs < width)
+        & (ysc >= 0)
+        & (ysc < wh)
+        & (xsc >= 0)
+        & (xsc < ww)
         & (disp_i >= 0)
         & (disp_i < PACK)
     )
@@ -97,18 +110,24 @@ def scatter_disp_packed(
         jnp.uint32(0),
     )
     # Out-of-bounds scatter indices are dropped; route masked lanes there.
-    lin = jnp.where(ok, ys * out_w + xs, out_h * out_w)
-    flat = jnp.zeros((out_h * out_w,), dtype=jnp.uint32)
+    # The scatter targets the 2D map DIRECTLY (row, col indices): the
+    # consumer (the Pallas tail's band DMAs) wants the native (8, 128)
+    # tiled layout, and scattering into a flat buffer leaves XLA a
+    # full-map relayout copy on the seam (~120 us/frame at the ESL eval
+    # geometry's 73 MB map -- measured via device trace, round 3).
+    lin = jnp.where(ok, ysc * out_w + xsc, out_h * out_w)
+    out = jnp.zeros((out_h, out_w), dtype=jnp.uint32)
     if method == "sorted":
         lin_s, packed_s = jax.lax.sort((lin, packed), num_keys=2)
         is_win = jnp.concatenate(
             [lin_s[:-1] != lin_s[1:], jnp.ones((1,), jnp.bool_)]
         ) & (lin_s < out_h * out_w)
         tgt = jnp.where(is_win, lin_s, out_h * out_w)
-        flat = flat.at[tgt].set(packed_s, mode="drop", unique_indices=True)
-    else:
-        flat = flat.at[lin].max(packed, mode="drop")
-    return flat.reshape(out_h, out_w)
+        # sentinel rows land at out_h (out of bounds) and are dropped
+        return out.at[tgt // out_w, tgt % out_w].set(
+            packed_s, mode="drop", unique_indices=True
+        )
+    return out.at[lin // out_w, lin % out_w].max(packed, mode="drop")
 
 
 def unpack_disp(packed: jax.Array, pack: int = PACK) -> jax.Array:
