@@ -81,3 +81,33 @@ def test_pallas_tail_empty(rig):
     frame_p, depth_p, disp_p = pallas_tail(disp, plan, interpret=True)
     assert (np.asarray(depth_p) == 0).all()
     assert (np.asarray(frame_p) == 255).all()  # all undefined -> white
+
+
+def test_tail_plan_disk_cache_roundtrip(tmp_path):
+    """The engine's tail-plan disk cache must reproduce the built plan
+    exactly (every field, arrays bit-for-bit)."""
+    import dataclasses
+
+    from xmaps_tpu.models.depth_pipeline import XMapsDepthEngine
+    from xmaps_tpu.utils.synthetic import make_synthetic_calibration
+
+    calib = make_synthetic_calibration(
+        camera_width=96, camera_height=64,
+        projector_width=72, projector_height=96,
+    )
+    kw = dict(
+        event_capacity=1024, z_near=0.2, z_far=1.2,
+        use_pallas_tail=True, use_pallas_events=False,
+        use_device_xmap_build=False,
+        xmap_cache_dir=str(tmp_path),
+    )
+    e1 = XMapsDepthEngine.from_calibration(calib, **kw)
+    assert any(p.name.startswith("tailplan_") for p in tmp_path.iterdir())
+    e2 = XMapsDepthEngine.from_calibration(calib, **kw)  # cache hit
+    for f in dataclasses.fields(type(e1.tail_plan)):
+        a = getattr(e1.tail_plan, f.name)
+        b = getattr(e2.tail_plan, f.name)
+        if isinstance(a, np.ndarray):
+            np.testing.assert_array_equal(a, b, err_msg=f.name)
+        else:
+            assert a == b, f.name

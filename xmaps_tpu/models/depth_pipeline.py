@@ -252,17 +252,8 @@ class XMapsDepthEngine:
                 z_far=z_far,
             )
         elif use_pallas_tail:
-            from xmaps_tpu.ops.pallas_tail import build_tail_plan
-
-            tail_plan = build_tail_plan(
-                maps.disp_proj_mapx_i16,
-                maps.disp_proj_mapy_i16,
-                calib.rect_image_height,
-                calib.rect_image_width,
-                p03=float(maps.P2[0, 3]),
-                z_near=z_near,
-                z_far=z_far,
-                **({"tile": tuple(tail_tile)} if tail_tile else {}),
+            tail_plan = XMapsDepthEngine._build_or_load_tail_plan(
+                maps, calib, z_near, z_far, tail_tile, xmap_cache_dir
             )
 
         if use_pallas_events is None:
@@ -323,6 +314,62 @@ class XMapsDepthEngine:
             projector_time_map_path=params.projector_time_map,
             **kw,
         )
+
+    @staticmethod
+    def _build_or_load_tail_plan(
+        maps, calib, z_near, z_far, tail_tile, cache_dir
+    ):
+        """Build the tail kernel's gather plan, with the same disk cache
+        as the X-map: the plan is a pure function of the projector maps
+        and parameters, and its host build (per-row collision-slot maps)
+        is the longest remaining setup step (~12 s on a 1-core host)."""
+        import dataclasses
+
+        from xmaps_tpu.ops.pallas_tail import TailPlan, build_tail_plan
+
+        key = None
+        cache_path = None
+        if cache_dir:
+            h = hashlib.sha256()
+            h.update(np.ascontiguousarray(maps.disp_proj_mapx_i16).tobytes())
+            h.update(np.ascontiguousarray(maps.disp_proj_mapy_i16).tobytes())
+            h.update(
+                f"{calib.rect_image_height}|{calib.rect_image_width}|"
+                f"{float(maps.P2[0, 3])}|{z_near}|{z_far}|{tail_tile}|v3"
+                .encode()
+            )
+            key = h.hexdigest()[:24]
+            os.makedirs(cache_dir, exist_ok=True)
+            cache_path = os.path.join(cache_dir, f"tailplan_{key}.npz")
+            if os.path.exists(cache_path):
+                with np.load(cache_path) as z:
+                    fields = {}
+                    for f in dataclasses.fields(TailPlan):
+                        v = z[f.name]
+                        fields[f.name] = (
+                            v if v.ndim else v.item()
+                        )
+                    return TailPlan(**fields)
+
+        plan = build_tail_plan(
+            maps.disp_proj_mapx_i16,
+            maps.disp_proj_mapy_i16,
+            calib.rect_image_height,
+            calib.rect_image_width,
+            p03=float(maps.P2[0, 3]),
+            z_near=z_near,
+            z_far=z_far,
+            **({"tile": tuple(tail_tile)} if tail_tile else {}),
+        )
+        if cache_path:
+            np.savez(
+                cache_path,
+                **{
+                    f.name: getattr(plan, f.name)
+                    for f in dataclasses.fields(TailPlan)
+                },
+            )
+        return plan
 
     @staticmethod
     def _build_or_load_xmap(
