@@ -298,6 +298,35 @@ def test_ring_compact_splits_long_spans(rng):
         )
 
 
+def test_ring_assembly_frame_larger_than_capacity(rng):
+    """A frame spanning more events than the batch capacity must truncate
+    exactly like EventBatch.from_structured -- including a packet that
+    straddles the capacity boundary (the shift-copy placement clamps its
+    output offset into the scratch tail)."""
+    import jax
+
+    from xmaps_tpu.io.prefetch import PacketRing, assemble_ring_frame
+
+    ev = _ring_events(rng, 3000)
+    ring = PacketRing(packet_capacity=700, n_slots=16)
+    for a in range(0, 3000, 700):
+        assert ring.stage_packets(ev[a : a + 700])
+
+    cap = 1500  # frame of 2600 events straddles packet 3 mid-slot
+    out = ring.frame_meta(100, 2700, int(ev["t"][100]))
+    assert out is not None
+    pkts, meta = out
+    got = jax.jit(
+        lambda a, b, m: assemble_ring_frame(a, b, m, cap)
+    )(tuple(p.xy for p in pkts), tuple(p.tp for p in pkts), meta)
+    want = EventBatch.from_structured(ev[100:2700], cap)
+    for f in EventBatch._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, f)), np.asarray(getattr(want, f)),
+            err_msg=f,
+        )
+
+
 def test_ring_overrun_and_retire(rng):
     from xmaps_tpu.io.prefetch import PacketRing
 

@@ -332,6 +332,49 @@ class RingPacket(NamedTuple):
     slot: int  # host slot index (ring bookkeeping)
 
 
+def _place_segments(tabs: tuple, starts, cum0, capacity: int):
+    """Concatenate per-slot segments tabs[k][starts[k]:] at output offsets
+    cum0[k], as K shift-copies (dynamic_slice + dynamic_update_slice).
+
+    The obvious per-lane formulation is a (K, P)-table gather, which XLA
+    lowers to a ~10 ns/element scalar loop -- ~0.3 ms per assembled frame
+    at 32k capacity, silently dominating the streaming dispatch.  Shifted
+    block copies are pure vector moves.  Each copy writes a full P-lane
+    segment; slot k+1's copy starts exactly where slot k's real events
+    end, overwriting its overhang, and the last overhang lands in a
+    P-lane scratch tail (or is masked off by the caller's valid lanes).
+    """
+    P = tabs[0].shape[0]
+    out = jnp.zeros((capacity + P,), tabs[0].dtype)
+    for k, tab in enumerate(tabs):
+        seg = jax.lax.dynamic_slice(
+            jnp.concatenate([tab, jnp.zeros((P,), tab.dtype)]),
+            (starts[k],),
+            (P,),
+        )
+        out = jax.lax.dynamic_update_slice(
+            out, seg, (jnp.minimum(cum0[k], capacity),)
+        )
+    return out[:capacity]
+
+
+def _slot_meta(counts, t_offs, capacity: int):
+    """Per-lane validity and time offset from per-slot counts (vector
+    compares and selects only -- no gathers)."""
+    K = counts.shape[0]
+    cum = jnp.cumsum(counts)
+    cum0 = jnp.concatenate([jnp.zeros((1,), cum.dtype), cum[:-1]])
+    total = cum[-1]
+    j = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0).reshape(capacity)
+    kc = jnp.sum(j[:, None] >= cum[None, :], axis=1).astype(jnp.int32)
+    t_off_lane = jnp.zeros(capacity, jnp.int32)
+    for k in range(K):
+        t_off_lane = jnp.where(kc == k, t_offs[k], t_off_lane)
+    count = jnp.minimum(total, capacity).astype(jnp.int32)
+    valid = j < count
+    return cum0, t_off_lane, valid, count
+
+
 def assemble_ring_frame(
     xys: tuple,
     tps: tuple,
@@ -342,37 +385,21 @@ def assemble_ring_frame(
 
     ``meta`` is (3, K) int32: row 0 = per-slot start lane, row 1 = per-slot
     event count, row 2 = per-slot time offset (packet t_base minus the
-    frame's first event time).  Output lane j pulls the (j - cum)th event
-    of the slot whose cumulative-count bucket contains j, giving the same
-    contiguous, arrival-ordered, capacity-padded batch (and bit-identical
-    timestamps) as staging the segmented frame directly.
+    frame's first event time).  Slot k's events land contiguously at the
+    cumulative offset of the slots before it, giving the same contiguous,
+    arrival-ordered, capacity-padded batch (and bit-identical timestamps)
+    as staging the segmented frame directly.
     """
-    K = len(xys)
     starts, counts, t_offs = meta[0], meta[1], meta[2]
-    xy = jnp.stack(xys)  # (K, P)
-    tp = jnp.stack(tps)
-    P = xy.shape[1]
-
-    cum = jnp.cumsum(counts)  # inclusive, (K,)
-    total = cum[-1]
-    j = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0).reshape(capacity)
-    # slot index: number of cumulative buckets at or below j
-    k = jnp.sum(j[:, None] >= cum[None, :], axis=1).astype(jnp.int32)
-    kc = jnp.clip(k, 0, K - 1)
-    prev = jnp.where(kc > 0, cum[jnp.maximum(kc - 1, 0)], 0)
-    idx = starts[kc] + (j - prev)
-    idxc = jnp.clip(idx, 0, P - 1)
-
-    w_xy = xy[kc, idxc].astype(jnp.int32)
-    w_tp = tp[kc, idxc]
-    count = jnp.minimum(total, capacity).astype(jnp.int32)
-    valid = j < count
+    cum0, t_off_lane, valid, count = _slot_meta(counts, t_offs, capacity)
+    w_xy = _place_segments(xys, starts, cum0, capacity).astype(jnp.int32)
+    w_tp = _place_segments(tps, starts, cum0, capacity)
     # zero the padding lanes exactly like the segmented staging does, so
     # the assembled batch is bit-identical to EventBatch.from_structured
     zero = jnp.int32(0)
     x = jnp.where(valid, w_xy & 0xFFFF, zero)
     y = jnp.where(valid, (w_xy >> 16) & 0xFFFF, zero)
-    t = jnp.where(valid, (w_tp & _T_MASK) + t_offs[kc], zero)
+    t = jnp.where(valid, (w_tp & _T_MASK) + t_off_lane, zero)
     p = jnp.where(valid, w_tp >> _P_SHIFT, zero)
     return EventBatch(x=x, y=y, t=t, p=p, valid=valid, count=count)
 
@@ -385,34 +412,20 @@ def assemble_ring_frame_compact(
 ) -> EventBatch:
     """:func:`assemble_ring_frame` for compact (one-word) ring packets.
 
-    Same placement math, one resident table gathered instead of two, and
-    p reconstructed as the constant 1 the upstream polarity filter
+    Same placement, one segment stream instead of two, and p
+    reconstructed as the constant 1 the upstream polarity filter
     guarantees.  Bit-identical to EventBatch.from_structured of the
     segmented slice (tests/test_prefetch.py)."""
-    K = len(ws)
     starts, counts, t_offs = meta[0], meta[1], meta[2]
-    w = jnp.stack(ws)  # (K, P)
-    P = w.shape[1]
-
-    cum = jnp.cumsum(counts)
-    total = cum[-1]
-    j = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0).reshape(capacity)
-    k = jnp.sum(j[:, None] >= cum[None, :], axis=1).astype(jnp.int32)
-    kc = jnp.clip(k, 0, K - 1)
-    prev = jnp.where(kc > 0, cum[jnp.maximum(kc - 1, 0)], 0)
-    idx = starts[kc] + (j - prev)
-    idxc = jnp.clip(idx, 0, P - 1)
-
-    word = w[kc, idxc].astype(jnp.int32)
-    count = jnp.minimum(total, capacity).astype(jnp.int32)
-    valid = j < count
+    cum0, t_off_lane, valid, count = _slot_meta(counts, t_offs, capacity)
+    word = _place_segments(ws, starts, cum0, capacity).astype(jnp.int32)
     zero = jnp.int32(0)
     bx, by = layout.bits_x, layout.bits_y
     x = jnp.where(valid, word & ((1 << bx) - 1), zero)
     y = jnp.where(valid, (word >> bx) & ((1 << by) - 1), zero)
     # logical shift: the word is packed unsigned (u32 reinterpreted)
     t_rel = jax.lax.shift_right_logical(word, jnp.int32(bx + by))
-    t = jnp.where(valid, t_rel + t_offs[kc], zero)
+    t = jnp.where(valid, t_rel + t_off_lane, zero)
     p = jnp.where(valid, jnp.int32(1), zero)
     return EventBatch(x=x, y=y, t=t, p=p, valid=valid, count=count)
 

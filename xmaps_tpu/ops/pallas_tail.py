@@ -137,10 +137,15 @@ def build_tail_plan(
     if tile is not None:
         TH, TW = tile
         candidates = [TH]
-    elif Hp <= 1280:
-        candidates = [128]
     else:
-        candidates = [960, 640, 384, 256, 128]
+        # tallest tile that fits the VMEM budget (checked below) without
+        # burning >20% of the grid on padding rows.  Round-3 sweeps:
+        # demonstrator (Hp=1280) 128/256/640 -> 0.339/0.324/0.318 ms;
+        # ESL (Hp=1920) 128..960 -> 0.475..0.434 ms.
+        candidates = [
+            th for th in (960, 640, 512, 384, 256, 128)
+            if _round_up(Hp, th) <= Hp * 1.2
+        ] or [128]
     assert TW == 128, "tile width must be one lane group"
     full_H, full_W = rect_height, rect_width
 
