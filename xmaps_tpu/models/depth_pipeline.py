@@ -420,24 +420,20 @@ class XMapsDepthEngine:
         the carried priorities and (for HBM plans) exact per-block X-map
         row bands.
 
-        Resident-table plans sort by raw y.  HBM plans sort by the
-        RECTIFIED row (one host LUT lookup per event, folded into the
-        staging copy): a 1024-event block then spans the events' true
-        X-map row range instead of the conservative raw-row envelope,
-        roughly halving the banded gather's work at the ESL eval
-        geometry.  The exact bounds ship as a (n/BLOCK, 2) i32 array.
+        The sort key is the RECTIFIED row (one host LUT lookup per event,
+        folded into the staging copy): a 1024-event block then spans the
+        events' true X-map row range instead of the raw-row proxy --
+        the HBM kernel's streamed bands tighten (roughly halved at the
+        ESL eval geometry) and the resident kernel's in-kernel
+        min/max row loop narrows the same way.  For HBM plans the exact
+        bounds additionally ship as a (n/BLOCK, 2) i32 array.
 
         Returns (batch, priority, bands); bands is None for resident
-        plans.  Results are bit-identical regardless of sort order (the
-        priority carries the arrival index).
+        plans (the kernel computes its own).  Results are bit-identical
+        regardless of sort order (the priority carries the arrival
+        index).
         """
         from xmaps_tpu.ops.pallas_events import BLOCK, EventGatherHBMPlan
-
-        if not isinstance(self.event_plan, EventGatherHBMPlan):
-            batch, prio = EventBatch.from_structured_sorted(
-                events, self.cfg.event_capacity
-            )
-            return batch, prio, None
 
         cap = self.cfg.event_capacity
         n = min(len(events), cap)
@@ -448,6 +444,9 @@ class XMapsDepthEngine:
             mapy[events["y"], events["x"]].astype(np.int32), 0, xmap_h - 1
         )
         batch, prio = EventBatch.from_structured_sorted(events, cap, key=yg)
+
+        if not isinstance(self.event_plan, EventGatherHBMPlan):
+            return batch, prio, None
 
         # padding lanes rectify (0, 0); include them where they appear
         yg_sorted = np.full(cap, np.clip(int(mapy[0, 0]), 0, xmap_h - 1),
