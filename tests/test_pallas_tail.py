@@ -111,3 +111,25 @@ def test_tail_plan_disk_cache_roundtrip(tmp_path):
             np.testing.assert_array_equal(a, b, err_msg=f.name)
         else:
             assert a == b, f.name
+
+
+def test_tail_tile_ladder_adapts_to_output_height():
+    """The automatic tile height climbs for large outputs (per the
+    round-3 sweeps) but never burns >20% of the grid on padding rows."""
+    from xmaps_tpu.calib.maps import CamProjMaps
+    from xmaps_tpu.ops.pallas_tail import build_tail_plan
+    from xmaps_tpu.utils.synthetic import make_synthetic_calibration
+
+    calib = make_synthetic_calibration(
+        camera_width=320, camera_height=240,
+        projector_width=360, projector_height=640,
+    )
+    maps = CamProjMaps(calib)
+    plan = build_tail_plan(
+        maps.disp_proj_mapx_i16, maps.disp_proj_mapy_i16,
+        calib.rect_image_height, calib.rect_image_width,
+        p03=float(maps.P2[0, 3]), z_near=0.2, z_far=1.2,
+    )
+    # Hp=640: 960 would pad 50%; 640 divides exactly and fits the budget
+    assert plan.TH == 640 and plan.Hp_pad == 640
+    assert plan.GR * plan.TH <= calib.projector_height * 1.2
