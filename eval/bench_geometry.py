@@ -36,7 +36,8 @@ def main(argv=None):
     ap.add_argument("--no-pallas-events", action="store_true")
     ap.add_argument("--no-pallas-tail", action="store_true")
     ap.add_argument("--tail-tile", type=int, default=0,
-                    help="tail output tile height (0 = default 128)")
+                    help="tail output tile height (0 = auto ladder)")
+    ap.add_argument("--camera-perspective", action="store_true")
     ap.add_argument("--rounds", type=int, nargs=2, default=(6, 30))
     args = ap.parse_args(argv)
 
@@ -96,6 +97,7 @@ def main(argv=None):
         use_pallas_events=False if args.no_pallas_events else None,
         use_pallas_tail=False if args.no_pallas_tail else None,
         tail_tile=(args.tail_tile, 128) if args.tail_tile else None,
+        camera_perspective=args.camera_perspective,
     )
     setup_s = time.perf_counter() - t0
 
