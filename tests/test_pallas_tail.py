@@ -133,3 +133,59 @@ def test_tail_tile_ladder_adapts_to_output_height():
     # Hp=640: 960 would pad 50%; 640 divides exactly and fits the budget
     assert plan.TH == 640 and plan.Hp_pad == 640
     assert plan.GR * plan.TH <= calib.projector_height * 1.2
+
+
+def test_plan_stripe_window_invariants(rig):
+    """V2 plan invariants: every in-bounds output pixel's pre-biased
+    stripe value indexes inside the static QHS-group window, through the
+    slot (a/b) the column table actually selects for it."""
+    calib, maps, plan = rig
+    nq = plan.TH // 8
+    X = plan.x_abs
+    for ti in range(plan.GR):
+        for tj in range(plan.GC):
+            t = ti * plan.GC + tj
+            for q in range(nq):
+                enc = int(plan.qenc[t * nq + q])
+                ph, base = enc % 8, enc - enc % 8
+                assert ph in (0, 1)
+                assert base % 8 == 0 and base + plan.QHS * 8 <= plan.RB
+                out_rows = slice(ti * plan.TH + q * 8, ti * plan.TH + (q + 1) * 8)
+                out_cols = slice(tj * plan.TW, (tj + 1) * plan.TW)
+                xe = X[out_rows, out_cols]
+                used = xe >= 0
+                if not used.any():
+                    continue
+                cols = (xe & ((1 << 20) - 1)) - int(plan.col0[t])
+                slot_b = (xe >> 20) & 1
+                st_rows = slice(t * plan.TH + q * 8, t * plan.TH + (q + 1) * 8)
+                for s in range(8):
+                    for l in range(plan.TW):
+                        if not used[s, l]:
+                            continue
+                        c = int(cols[s, l])
+                        assert 0 <= c < plan.CB
+                        tab = plan.yh_b if slot_b[s, l] else plan.yh_a
+                        hq = int(tab[st_rows, :][s, c])
+                        assert 0 <= hq < plan.QHS * 8, (t, q, s, l, hq)
+
+
+def test_packed_lut_matches_turbo():
+    """The packed-BGR LUT must reproduce TURBO exactly, with entry 0
+    pre-whitened (the u8==0 white-mask fold)."""
+    from xmaps_tpu.ops.pallas_tail import _make_lut
+    from xmaps_tpu.utils.colormap import TURBO_BGR_U8
+
+    lut = _make_lut()
+    assert lut.shape == (8, 256)
+    flat = np.concatenate([lut[0, :128], lut[0, 128:]])
+    b = flat & 255
+    g = (flat >> 8) & 255
+    r = flat >> 16
+    exp = TURBO_BGR_U8.astype(np.int64).copy()
+    exp[0] = 255  # white fold
+    np.testing.assert_array_equal(b, exp[:, 0])
+    np.testing.assert_array_equal(g, exp[:, 1])
+    np.testing.assert_array_equal(r, exp[:, 2])
+    # rows are broadcast copies
+    np.testing.assert_array_equal(lut, np.broadcast_to(lut[0], (8, 256)))

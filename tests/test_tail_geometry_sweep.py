@@ -50,7 +50,7 @@ def test_fused_tail_matches_xla_across_geometries(cw, ch, pw, ph, scale, th):
         z_far=1.2,
         tile=(th, 128),
     )
-    assert plan.QH * 8 <= plan.RB
+    assert plan.QHS * 8 <= plan.RB
     assert plan.GR * plan.TH >= ph and plan.GC * plan.TW >= pw
 
     events = simulate_plane_events(

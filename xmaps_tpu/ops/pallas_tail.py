@@ -6,28 +6,44 @@ XLA's general gather on TPU costs ~10ns/element (~9.5 ms for the 921k-pixel
 remap); this kernel exploits the static smoothness of the rectification
 maps instead:
 
-- For each (TH, 128) output tile (TH=128 default; taller tiles amortize
-  per-step DMA/semaphore/bookkeeping costs), the source pixels live in a
-  small axis-aligned band of the rectified disparity map (the maps are
-  near-affine: ~1.03 px/row vertically, ~2.44 px/col horizontally, plus a
-  few pixels of lens distortion).  The band (RB x CB, precomputed bounds)
-  is DMA'd to VMEM, double-buffered across grid steps.
+- For each (TH, 128) output tile (TH from a measured ladder; taller tiles
+  amortize per-step DMA/semaphore/bookkeeping costs), the source pixels
+  live in a small axis-aligned band of the rectified disparity map (the
+  maps are near-affine plus a few pixels of lens distortion).  The band
+  (RB x CB, precomputed bounds) is DMA'd to VMEM, double-buffered across
+  grid steps.
 - The 7x7 max-dilation runs on the band in VMEM (separable shifted maxes;
   the +3 halo is included in the band, and zero padding equals
-  border-replicate for non-negative disparity).
+  border-replicate for non-negative disparity).  The dilated band is
+  parked twice in scratch: as-is, and shifted up 4 rows -- each 8-output-
+  row sub-block picks the phase whose 16-row aligned window covers its
+  source rows, so the row-group select chain is statically QHS=2 wide
+  (4-phase windows cover any <=13-row span; an 8-aligned-only base would
+  need 3 groups for ~2% of sub-blocks, and the static bound pays
+  everywhere).
 - The 2D gather decomposes into two exact 1D steps:
   (a) row alignment: aligned[s, c] = dilated[yhat(i0+s, c) - row0, c],
       where yhat places, for every output row, the needed source row at
-      every source column it reads (scattered at init, gap-filled with the
-      nearest used column);  executed as Mosaic sublane dynamic_gathers
-      ((8, 128) table/index) with select-over-row-groups;
+      every source column it reads (scattered at init, gap-filled with
+      the nearest used column).  The yhat tables ship as PER-TILE STRIPES
+      (n_tiles*TH, CB) i16 whose values are pre-biased by the band start
+      and the sub-block's window base on the host, so the kernel's index
+      math is just ``ia = v & 7; hs = v >> 3`` feeding two Mosaic sublane
+      dynamic_gathers ((8, 128) table/index) and one select;
   (b) column gather: out[s, l] = aligned[s, X(i0+s, j) - col0], as lane
       dynamic_gathers with select-over-128-column-groups.
   Step (b) evaluates yhat exactly at the scattered positions, so the
-  composition equals dilated[Y(i,j), X(i,j)] bit-for-bit.
-- depth = P[0,3]/disp, u8 normalization (C-truncation) and the 256-entry
-  TURBO colormap (two lane gathers over the split LUT halves + select)
-  fuse into the same tile pass.
+  composition equals dilated[Y(i,j), X(i,j)] bit-for-bit.  Two output
+  pixels can share a rect column with different source rows at i16
+  rounding boundaries (~0.7% of pixels); a second stripe table serves
+  those through the same machinery, selected per pixel by a bit in the
+  column table.
+- depth = P[0,3]/disp, u8 normalization (C-truncation) and the TURBO
+  colormap fuse into the same tile pass.  The colormap is a packed-BGR
+  LUT (B | G<<8 | R<<16, 256 entries as two 128-lane halves) with entry
+  0 pre-whitened -- the undefined-pixel white mask is exactly u8 == 0
+  both here and in the XLA oracle (ops.image_tail.colorize_turbo), so
+  one gather chain yields all three channels with no white select.
 
 Everything indexful is precomputed on host at init into a TailPlan.
 """
@@ -93,18 +109,22 @@ class TailPlan:
 
     row0: np.ndarray  # (GR*GC,) i32 band row starts
     col0: np.ndarray  # (GR*GC,) i32 band col starts
-    #: (GR*GC*4,) i32: per (tile, 8-output-row sub-block) band-relative
-    #: 8-aligned first source row actually referenced; the kernel's
-    #: row-group loop covers [qbase, qbase + QH*8) instead of the whole
-    #: band
-    qbase: np.ndarray
-    QH: int  # row groups per sub-block (global max, typically 2-3)
-    #: (Hp_pad, Wp_pad) i32: absolute rect col; bit 20 selects the yhat slot
-    #: (two output pixels can share a rect column with different source
-    #: rows at i16 rounding boundaries); -1 if out of bounds
+    #: (GR*GC * TH/8,) i32 per (tile, 8-output-row sub-block) window base
+    #: in the 2-phase dilated-band scratch: 8-aligned slot base + phase
+    #: bit (phase 1 = the copy shifted up 4 rows)
+    qenc: np.ndarray
+    QHS: int  # static row groups per sub-block window (typically 2)
+    #: (Hp_pad, Wp_pad) i32: absolute rect col; bit 20 selects the stripe
+    #: slot (two output pixels can share a rect column with different
+    #: source rows at i16 rounding boundaries); -1 if out of bounds
     x_abs: np.ndarray
-    yhat_a: np.ndarray  # (Hp_pad, W_pad) i16 source row per rect col (last writer)
-    yhat_b: np.ndarray  # (Hp_pad, W_pad) i16 source row per rect col (first writer)
+    #: (GR*GC*TH, CB) i16 pre-biased source-row stripes (last-writer slot):
+    #: value = yhat - row0[tile] - window_base[tile, sub-block], so the
+    #: kernel indexes its QHS*8-row window directly (ia = v & 7,
+    #: hs = v >> 3); gap/unserved columns carry out-of-window values and
+    #: are never selected
+    yh_a: np.ndarray
+    yh_b: np.ndarray  # same, first-writer slot (collision pixels)
 
     p03: float
     z_near: float
@@ -127,10 +147,10 @@ def build_tail_plan(
     amortize the per-step costs (DMA issue, semaphores, grid bookkeeping)
     over more pixels; the width stays at 128 lanes so the per-micro-block
     band column-group loop stays narrow.  With ``tile=None`` the height
-    is chosen automatically: 128 for demonstrator-scale outputs (the
-    round-2 sweep optimum) and the tallest budget-fitting tile from
-    {960..128} for larger outputs (the ESL eval geometry sweep was
-    monotone up to 960: 0.475 -> 0.434 ms/frame, round 3).
+    is chosen automatically: the tallest budget-fitting tile from
+    {960..128} that wastes <20% of the grid on padding rows (the round-3
+    sweeps were monotone in TH at both rigs: demonstrator 128/256/640 ->
+    0.339/0.324/0.318 ms; ESL 128..960 -> 0.475..0.434 ms/frame).
     """
     TW = 128
     Hp, Wp = proj_mapx_i16.shape
@@ -138,10 +158,6 @@ def build_tail_plan(
         TH, TW = tile
         candidates = [TH]
     else:
-        # tallest tile that fits the VMEM budget (checked below) without
-        # burning >20% of the grid on padding rows.  Round-3 sweeps:
-        # demonstrator (Hp=1280) 128/256/640 -> 0.339/0.324/0.318 ms;
-        # ESL (Hp=1920) 128..960 -> 0.475..0.434 ms.
         candidates = [
             th for th in (960, 640, 512, 384, 256, 128)
             if _round_up(Hp, th) <= Hp * 1.2
@@ -196,12 +212,12 @@ def build_tail_plan(
         col0q = (np.maximum(xmin, 0) // 128) * 128
         RB = _round_up(int((ymax - row0q).max()) + 1, 8)
         CB = _round_up(int((xmax - col0q).max()) + 1, 128)
-        # scratch budget: 2 band slots + dilated band (i32/f32) + 4 yhat
-        # slots (i16) + output tiles; leave the rest of VMEM to Mosaic
+        # scratch budget: 2 band slots + 2-phase dilated band + 4 yhat
+        # stripe slots (i16) + output tiles; leave the rest to Mosaic
         vmem_est = (
-            3 * RB * CB * 4 + 4 * TH * CB * 2 + 6 * TH * TW * 4
+            4 * RB * CB * 4 + 4 * TH * CB * 2 + 7 * TH * TW * 4
         )
-        if vmem_est <= 7 * 2**20:
+        if vmem_est <= 8 * 2**20:
             break
     H_pad = _round_up(max(H, RB), 8)
     W_pad = _round_up(max(W, CB), 128)
@@ -214,8 +230,8 @@ def build_tail_plan(
     # pixels can round to the same rect column with source rows differing by
     # one (i16 rounding boundaries), so two slots are kept: last writer and
     # first writer; a per-output-pixel bit picks the right one.
-    yhat_a = np.zeros((Hp_pad, W_pad), dtype=np.int16)
-    yhat_b = np.zeros((Hp_pad, W_pad), dtype=np.int16)
+    yhat_a = np.zeros((Hp_pad, W_pad), dtype=np.int32)
+    yhat_b = np.zeros((Hp_pad, W_pad), dtype=np.int32)
     use_b = np.zeros((Hp_pad, Wp_pad), dtype=bool)
     cols = np.arange(W_pad)
     for i in range(Hp_pad):
@@ -252,14 +268,15 @@ def build_tail_plan(
 
     # Per (tile, 8-output-row sub-block) source-row window: the rows the
     # column gather actually reads are exactly Yp of the in-bounds output
-    # pixels (both collision slots resolve to Yp at their selected lanes),
-    # so the kernel's row-group loop only needs to cover that span --
-    # typically ~10 rows (two 8-row groups from an unaligned base) instead
-    # of the whole band.
+    # pixels, typically spanning ~6-10 rows.  A base quantized to 4 rows
+    # keeps the static window at QHS=2 groups (the kernel holds a second
+    # dilated-band copy shifted up 4 rows for odd phases).
     row0_t = row0.reshape(-1)
+    col0_t = col0.reshape(-1)
+    n_tiles = GR * GC
     nq = TH // 8
-    qbase = np.zeros((GR * GC * nq,), np.int32)
-    QH = 1
+    base4 = np.zeros((n_tiles, nq), np.int32)
+    need_max = 1
     for ti in range(GR):
         for tj in range(GC):
             t = ti * GC + tj
@@ -270,13 +287,39 @@ def build_tail_plan(
                 if not used.any():
                     continue
                 rows = Yp[rs, cs][used] - row0_t[t]
-                # 8-aligned base (Mosaic vector loads need aligned sublane
-                # starts); the window is at most one group wider for it
-                lo = (int(rows.min()) // 8) * 8
-                qbase[t * nq + q] = lo
-                QH = max(QH, int(rows.max()) // 8 - lo // 8 + 1)
-    # keep every window inside the DMA'd band
-    qbase = np.minimum(qbase, max(RB - QH * 8, 0)).astype(np.int32)
+                b4 = (int(rows.min()) // 4) * 4
+                base4[t, q] = b4
+                need_max = max(need_max, int(rows.max()) - b4 + 1)
+    QHS = max(2, _round_up(need_max, 8) // 8)
+    # keep every window inside the band scratch (phase-1 windows read
+    # slot indices [base, base + QHS*8), which must stay < RB); clamping
+    # a base down only widens the covered span upward, so coverage holds
+    base4 = np.minimum(base4, max(RB - QHS * 8, 0))
+
+    qenc = np.zeros((n_tiles * nq,), np.int32)
+    yh_a = np.full((n_tiles * TH, CB), -(2**14), dtype=np.int16)
+    yh_b = np.full((n_tiles * TH, CB), -(2**14), dtype=np.int16)
+    for ti in range(GR):
+        for tj in range(GC):
+            t = ti * GC + tj
+            c0 = col0_t[t]
+            for q in range(nq):
+                b4 = int(base4[t, q])
+                phase = (b4 % 8) // 4
+                qenc[t * nq + q] = (b4 - 4 * phase) + phase
+                src = slice(ti * TH + q * 8, ti * TH + (q + 1) * 8)
+                dst = slice(t * TH + q * 8, t * TH + (q + 1) * 8)
+                bias = row0_t[t] + b4
+                yh_a[dst] = (yhat_a[src, c0 : c0 + CB] - bias).astype(np.int16)
+                yh_b[dst] = (yhat_b[src, c0 : c0 + CB] - bias).astype(np.int16)
+                # coverage: every used pixel's window index in [0, QHS*8)
+                used = inbp[src, tj * TW : (tj + 1) * TW]
+                if used.any():
+                    hq = Yp[src, tj * TW : (tj + 1) * TW][used] - row0_t[t] - b4
+                    assert hq.min() >= 0 and hq.max() < QHS * 8, (
+                        f"tail plan window miss: tile {t} sub-block {q} "
+                        f"hq range [{hq.min()}, {hq.max()}] vs {QHS * 8}"
+                    )
 
     return TailPlan(
         full_H=full_H, full_W=full_W, crop_row0=r_lo, crop_col0=c_lo,
@@ -284,9 +327,9 @@ def build_tail_plan(
         Hp=Hp, Wp=Wp, Hp_pad=Hp_pad, Wp_pad=Wp_pad,
         TH=TH, TW=TW,
         RB=RB, CB=CB, GR=GR, GC=GC,
-        row0=row0_t, col0=col0.reshape(-1),
-        qbase=qbase, QH=QH,
-        x_abs=x_abs, yhat_a=yhat_a, yhat_b=yhat_b,
+        row0=row0_t, col0=col0_t,
+        qenc=qenc, QHS=QHS,
+        x_abs=x_abs, yh_a=yh_a, yh_b=yh_b,
         p03=float(p03), z_near=float(z_near), z_far=float(z_far),
     )
 
@@ -309,12 +352,12 @@ def _shift_max_sublanes(a, s):
 def _tail_kernel(
     row0_ref,
     col0_ref,
-    qbase_ref,
+    qenc_ref,
     x_abs_ref,
     lut_ref,
     disp_ref,
-    yhat_a_ref,
-    yhat_b_ref,
+    yh_a_hbm,
+    yh_b_hbm,
     disp_out_ref,
     depth_ref,
     b_ref,
@@ -331,8 +374,8 @@ def _tail_kernel(
 ):
     """Full-output variant: emits disparity + metric depth + BGR."""
     _tail_core(
-        row0_ref, col0_ref, qbase_ref, x_abs_ref, lut_ref, disp_ref,
-        yhat_a_ref, yhat_b_ref, disp_out_ref, depth_ref, b_ref, g_ref,
+        row0_ref, col0_ref, qenc_ref, x_abs_ref, lut_ref, disp_ref,
+        yh_a_hbm, yh_b_hbm, disp_out_ref, depth_ref, b_ref, g_ref,
         r_ref, band, yh_a, yh_b, dil, sems, plan=plan, pack=pack,
     )
 
@@ -340,12 +383,12 @@ def _tail_kernel(
 def _tail_kernel_display(
     row0_ref,
     col0_ref,
-    qbase_ref,
+    qenc_ref,
     x_abs_ref,
     lut_ref,
     disp_ref,
-    yhat_a_ref,
-    yhat_b_ref,
+    yh_a_hbm,
+    yh_b_hbm,
     b_ref,
     g_ref,
     r_ref,
@@ -364,8 +407,8 @@ def _tail_kernel_display(
     full-resolution f32 output stores and their downstream layout
     copies."""
     _tail_core(
-        row0_ref, col0_ref, qbase_ref, x_abs_ref, lut_ref, disp_ref,
-        yhat_a_ref, yhat_b_ref, None, None, b_ref, g_ref,
+        row0_ref, col0_ref, qenc_ref, x_abs_ref, lut_ref, disp_ref,
+        yh_a_hbm, yh_b_hbm, None, None, b_ref, g_ref,
         r_ref, band, yh_a, yh_b, dil, sems, plan=plan, pack=pack,
     )
 
@@ -373,12 +416,12 @@ def _tail_kernel_display(
 def _tail_core(
     row0_ref,
     col0_ref,
-    qbase_ref,
+    qenc_ref,
     x_abs_ref,
     lut_ref,
     disp_ref,
-    yhat_a_ref,
-    yhat_b_ref,
+    yh_a_hbm,
+    yh_b_hbm,
     disp_out_ref,
     depth_ref,
     b_ref,
@@ -402,7 +445,6 @@ def _tail_core(
     j = pl.program_id(1)
     tile = i * plan.GC + j
     n_tiles = plan.GR * plan.GC
-    row0 = pl.multiple_of(row0_ref[tile], 8)
     col0 = pl.multiple_of(col0_ref[tile], 128)
 
     # Manual double buffering: the grid runs sequentially on one core, so
@@ -411,19 +453,18 @@ def _tail_core(
     def start_dmas(t, slot):
         r0 = pl.multiple_of(row0_ref[t], 8)
         c0 = pl.multiple_of(col0_ref[t], 128)
-        ti = t // plan.GC
         pltpu.make_async_copy(
             disp_ref.at[pl.ds(r0, RB), pl.ds(c0, CB)],
             band.at[slot],
             sems.at[slot, 0],
         ).start()
         pltpu.make_async_copy(
-            yhat_a_ref.at[pl.ds(ti * TH, TH), pl.ds(c0, CB)],
+            yh_a_hbm.at[pl.ds(t * TH, TH), :],
             yh_a.at[slot],
             sems.at[slot, 1],
         ).start()
         pltpu.make_async_copy(
-            yhat_b_ref.at[pl.ds(ti * TH, TH), pl.ds(c0, CB)],
+            yh_b_hbm.at[pl.ds(t * TH, TH), :],
             yh_b.at[slot],
             sems.at[slot, 2],
         ).start()
@@ -431,19 +472,18 @@ def _tail_core(
     def wait_dmas(t, slot):
         r0 = pl.multiple_of(row0_ref[t], 8)
         c0 = pl.multiple_of(col0_ref[t], 128)
-        ti = t // plan.GC
         pltpu.make_async_copy(
             disp_ref.at[pl.ds(r0, RB), pl.ds(c0, CB)],
             band.at[slot],
             sems.at[slot, 0],
         ).wait()
         pltpu.make_async_copy(
-            yhat_a_ref.at[pl.ds(ti * TH, TH), pl.ds(c0, CB)],
+            yh_a_hbm.at[pl.ds(t * TH, TH), :],
             yh_a.at[slot],
             sems.at[slot, 1],
         ).wait()
         pltpu.make_async_copy(
-            yhat_b_ref.at[pl.ds(ti * TH, TH), pl.ds(c0, CB)],
+            yh_b_hbm.at[pl.ds(t * TH, TH), :],
             yh_b.at[slot],
             sems.at[slot, 2],
         ).wait()
@@ -476,15 +516,16 @@ def _tail_core(
         d = _shift_max_lanes(d, s)
     for s in (1, 2):
         d = _shift_max_sublanes(d, s)
-    # park the dilated band in scratch: the row-window loop below reads it
-    # at per-sub-block *traced* (unaligned) sublane offsets, which needs a
-    # ref (values cannot be dynamically sliced)
-    dil[:] = d
+    # park the dilated band twice: phase 0 as-is at rows [0, RB), phase 1
+    # shifted up 4 rows at [RB, 2RB) -- sub-block windows then always fit
+    # QHS aligned groups, and the row-window loop below reads the copies
+    # at traced (8-aligned) sublane offsets, which needs a ref anyway
+    dil[pl.ds(0, RB)] = d
+    dil[pl.ds(RB, RB)] = jnp.concatenate(
+        [d[4:], jnp.zeros((4, CB), d.dtype)], axis=0
+    )
 
     # --- per-tile tables ---------------------------------------------------
-    # (TH, CB) band-relative source rows, both collision slots
-    R_a = yh_a[:].astype(jnp.int32) - row0
-    R_b = yh_b[:].astype(jnp.int32) - row0
     X_enc = x_abs_ref[:]  # (TH, 128): abs col | slot bit 20; -1 OOB
     oob = X_enc < 0
     use_b = (X_enc >> 20) & 1
@@ -494,14 +535,14 @@ def _tail_core(
     off = dxr % 128
 
     n_colgrp = CB // 128
-
     nq = TH // 8
     out_rows = []
     for q in range(nq):  # 8-row sub-blocks of the TH output rows
-        # first source row this sub-block actually references: the
-        # row-group loop walks QH 8-row windows from this (8-aligned)
-        # base instead of the whole band
-        qb = pl.multiple_of(qbase_ref[tile * nq + q], 8)
+        # window base in the 2-phase dilated-band scratch (8-aligned base
+        # + phase bit; phase 1 = the 4-row-shifted copy at rows [RB, 2RB))
+        enc = qenc_ref[tile * nq + q]
+        ph = jax.lax.rem(enc, 8)
+        qb = pl.multiple_of((enc - ph) + ph * RB, 8)
         sl = slice(q * 8, (q + 1) * 8)
         offq = off[sl, :]
         grpq = grp[sl, :]
@@ -509,22 +550,26 @@ def _tail_core(
         outq = jnp.zeros((8, 128), jnp.float32)
         for gc in range(n_colgrp):
             csl = slice(gc * 128, (gc + 1) * 128)
-            ha = R_a[sl, csl] - qb
-            hb = R_b[sl, csl] - qb
-            hs_a = ha // 8
-            hs_b = hb // 8
-            al_a = jnp.zeros((8, 128), jnp.float32)
-            al_b = jnp.zeros((8, 128), jnp.float32)
-            for h in range(plan.QH):
-                # one table load serves both collision slots
-                tab = dil[pl.ds(qb + h * 8, 8), csl]
-                ia = jnp.clip(ha - h * 8, 0, 7)
+            # stripe values are pre-biased on host: low 3 bits = row
+            # within group, upper bits = group; & 7 bounds the gather
+            # index for ANY value (two's complement), and lanes whose
+            # group matches no h are overwritten by no select -- their
+            # garbage gathers are never read
+            ta = yh_a[sl, csl].astype(jnp.int32)
+            tb = yh_b[sl, csl].astype(jnp.int32)
+            ia = ta & 7
+            ib = tb & 7
+            hs_a = ta >> 3
+            hs_b = tb >> 3
+            tabs = [dil[pl.ds(qb + h * 8, 8), csl] for h in range(plan.QHS)]
+            al_a = jnp.take_along_axis(tabs[0], ia, axis=0)
+            al_b = jnp.take_along_axis(tabs[0], ib, axis=0)
+            for h in range(1, plan.QHS):
                 al_a = jnp.where(
-                    hs_a == h, jnp.take_along_axis(tab, ia, axis=0), al_a
+                    hs_a == h, jnp.take_along_axis(tabs[h], ia, axis=0), al_a
                 )
-                ib = jnp.clip(hb - h * 8, 0, 7)
                 al_b = jnp.where(
-                    hs_b == h, jnp.take_along_axis(tab, ib, axis=0), al_b
+                    hs_b == h, jnp.take_along_axis(tabs[h], ib, axis=0), al_b
                 )
             got_a = jnp.take_along_axis(al_a, offq, axis=1)
             got_b = jnp.take_along_axis(al_b, offq, axis=1)
@@ -550,21 +595,26 @@ def _tail_core(
     val = jnp.where(depth == 0.0, 0.0, val)
     u8 = jnp.clip(val, 0.0, 255.0).astype(jnp.int32)  # C truncation
 
-    lut = lut_ref[:]  # (8, 768) i32: [B_lo B_hi G_lo G_hi R_lo R_hi]
-    white = u8 == 0
-    for ch, out_ref in ((0, b_ref), (1, g_ref), (2, r_ref)):
-        tab_lo = lut[:, ch * 256 : ch * 256 + 128]
-        tab_hi = lut[:, ch * 256 + 128 : ch * 256 + 256]
-        chunks = []
-        for q in range(TH // 8):
-            idx = u8[q * 8 : (q + 1) * 8, :] & 127
-            hi = u8[q * 8 : (q + 1) * 8, :] >= 128
-            lo_v = jnp.take_along_axis(tab_lo, idx, axis=1)
-            hi_v = jnp.take_along_axis(tab_hi, idx, axis=1)
-            chunks.append(jnp.where(hi, hi_v, lo_v))
-        color = jnp.concatenate(chunks, axis=0)
-        color = jnp.where(white, 255, color)
-        out_ref[:] = color.astype(jnp.uint8)
+    _colorize_packed(lut_ref, u8, TH, b_ref, g_ref, r_ref)
+
+
+def _colorize_packed(lut_ref, u8, tile_h, b_ref, g_ref, r_ref):
+    """Packed-BGR LUT application: one gather chain for all channels (see
+    _make_lut; entry 0 is pre-whitened, so no white select)."""
+    lut = lut_ref[:]  # (8, 256) i32 packed BGR, two 128-lane halves
+    tab_lo = lut[:, :128]
+    tab_hi = lut[:, 128:256]
+    rows = []
+    for q in range(tile_h // 8):
+        idx = u8[q * 8 : (q + 1) * 8, :] & 127
+        hi = u8[q * 8 : (q + 1) * 8, :] >= 128
+        lo_v = jnp.take_along_axis(tab_lo, idx, axis=1)
+        hi_v = jnp.take_along_axis(tab_hi, idx, axis=1)
+        rows.append(jnp.where(hi, hi_v, lo_v))
+    bgr = jnp.concatenate(rows, axis=0)
+    b_ref[:] = (bgr & 255).astype(jnp.uint8)
+    g_ref[:] = ((bgr >> 8) & 255).astype(jnp.uint8)
+    r_ref[:] = (bgr >> 16).astype(jnp.uint8)
 
 
 @dataclass(frozen=True)
@@ -651,7 +701,7 @@ def _colorize_core(
 
     # identical formulas to _tail_kernel's epilogue (and the XLA ops in
     # ops.image_tail): depth = P[0,3]/disp with 0-preserve, C-truncation
-    # u8 normalization, TURBO LUT, white where undefined
+    # u8 normalization, packed TURBO LUT with pre-whitened entry 0
     safe = jnp.where(d == 0.0, 1.0, d)
     depth = jnp.maximum(jnp.float32(plan.p03) / safe, 1e-9)
     depth = jnp.where(d == 0.0, 0.0, depth)
@@ -665,21 +715,7 @@ def _colorize_core(
     val = jnp.where(depth == 0.0, 0.0, val)
     u8 = jnp.clip(val, 0.0, 255.0).astype(jnp.int32)
 
-    lut = lut_ref[:]
-    white = u8 == 0
-    for ch, out_ref in ((0, b_ref), (1, g_ref), (2, r_ref)):
-        tab_lo = lut[:, ch * 256 : ch * 256 + 128]
-        tab_hi = lut[:, ch * 256 + 128 : ch * 256 + 256]
-        chunks = []
-        for q in range(4):
-            idx = u8[q * 8 : (q + 1) * 8, :] & 127
-            hi = u8[q * 8 : (q + 1) * 8, :] >= 128
-            lo_v = jnp.take_along_axis(tab_lo, idx, axis=1)
-            hi_v = jnp.take_along_axis(tab_hi, idx, axis=1)
-            chunks.append(jnp.where(hi, hi_v, lo_v))
-        color = jnp.concatenate(chunks, axis=0)
-        color = jnp.where(white, 255, color)
-        out_ref[:] = color.astype(jnp.uint8)
+    _colorize_packed(lut_ref, u8, 32, b_ref, g_ref, r_ref)
 
 
 def pallas_colorize(
@@ -730,13 +766,16 @@ def pallas_colorize(
 
 
 def _make_lut() -> np.ndarray:
-    """(8, 768) i32: per channel, the 256-entry TURBO LUT split into two
-    128-lane halves, rows broadcast for sublane-uniform gathers."""
-    lut = np.zeros((8, 768), dtype=np.int32)
-    for ch in range(3):  # BGR
-        vals = TURBO_BGR_U8[:, ch].astype(np.int32)
-        lut[:, ch * 256 : ch * 256 + 128] = vals[:128][None, :]
-        lut[:, ch * 256 + 128 : ch * 256 + 256] = vals[128:][None, :]
+    """(8, 256) i32 packed-BGR TURBO LUT (B | G<<8 | R<<16) split into two
+    128-lane halves, rows broadcast for sublane-uniform gathers; entry 0
+    is white (the undefined-pixel mask is exactly u8 == 0, matching
+    ops.image_tail.colorize_turbo)."""
+    v = TURBO_BGR_U8.astype(np.int32)
+    packed = v[:, 0] | (v[:, 1] << 8) | (v[:, 2] << 16)
+    packed[0] = 0xFFFFFF
+    lut = np.zeros((8, 256), dtype=np.int32)
+    lut[:, :128] = packed[:128][None, :]
+    lut[:, 128:] = packed[128:][None, :]
     return lut
 
 
@@ -793,8 +832,8 @@ def pallas_tail(
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lut, full
             pl.BlockSpec(memory_space=pl.ANY),  # disp_pad
-            pl.BlockSpec(memory_space=pl.ANY),  # yhat_a
-            pl.BlockSpec(memory_space=pl.ANY),  # yhat_b
+            pl.BlockSpec(memory_space=pl.ANY),  # yh_a stripes
+            pl.BlockSpec(memory_space=pl.ANY),  # yh_b stripes
         ],
         out_specs=[
             pl.BlockSpec(
@@ -808,7 +847,7 @@ def pallas_tail(
             pltpu.VMEM((2, plan.RB, plan.CB), band_dtype),
             pltpu.VMEM((2, plan.TH, plan.CB), jnp.int16),
             pltpu.VMEM((2, plan.TH, plan.CB), jnp.int16),
-            pltpu.VMEM((plan.RB, plan.CB), jnp.float32),
+            pltpu.VMEM((2 * plan.RB, plan.CB), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
@@ -831,12 +870,12 @@ def pallas_tail(
     )(
         jnp.asarray(plan.row0),
         jnp.asarray(plan.col0),
-        jnp.asarray(plan.qbase),
+        jnp.asarray(plan.qenc),
         jnp.asarray(plan.x_abs),
         jnp.asarray(_make_lut()),
         disp_pad,
-        jnp.asarray(plan.yhat_a),
-        jnp.asarray(plan.yhat_b),
+        jnp.asarray(plan.yh_a),
+        jnp.asarray(plan.yh_b),
     )
     if emit_aux:
         disp_out, depth, b, g, r = outs
