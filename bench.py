@@ -179,6 +179,7 @@ def main():
                 event_plan=ep,
                 presort_priority=prio,
                 presort_bands=bands,
+                presort_runs=prio is not None,
                 display_only=True,
             )
             for b, prio, bands in bs

@@ -137,6 +137,7 @@ def main(argv=None):
             depth_frame(
                 b, tables, cfg, tail_plan=tp, event_plan=ep,
                 presort_priority=prio, presort_bands=bands,
+                presort_runs=prio is not None,
                 display_only=True,
             )
             for b, prio, bands in bs

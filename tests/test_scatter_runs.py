@@ -1,0 +1,239 @@
+"""The sort-free "runs" scatter (host target-sorted batches) vs the
+duplicate-capable "max" oracle.
+
+The runs method's contract (ops.scatter): same-target lanes contiguous
+among real lanes, run keys defined for every lane, winners resolved by a
+key-gated doubling suffix-max scan.  These tests force the hazardous
+configurations: duplicate targets, rejected (non-inlier) lanes
+interspersed INSIDE a run, all-reject runs, out-of-window targets, and
+padding lanes at the tail whose keys coincide with real runs
+(non-contiguous key repeats -- harmless because padding never wins).
+"""
+
+import numpy as np
+import pytest
+
+from xmaps_tpu.models.depth_pipeline import XMapsDepthEngine
+from xmaps_tpu.ops.event_batch import EventBatch
+from xmaps_tpu.ops.frame_pipeline import depth_frame
+from xmaps_tpu.ops.pallas_events import (
+    build_event_gather_hbm_plan,
+    build_event_gather_plan,
+)
+from xmaps_tpu.ops.scatter import scatter_disp_packed
+from xmaps_tpu.utils.synthetic import (
+    make_synthetic_calibration,
+    simulate_plane_events,
+)
+
+CAPACITY = 2048
+
+
+def _runs_case(rng, n_real, cap, h, w, key_space):
+    """Host-sorted lanes with dense target collisions + reject lanes
+    interspersed, padded to cap with key-coincident padding lanes."""
+    ky = rng.integers(0, key_space[0], n_real)
+    kx = rng.integers(0, key_space[1], n_real)
+    order = np.lexsort((kx, ky))
+    ky, kx = ky[order], kx[order]
+    disp = rng.integers(0, 500, n_real)
+    inlier = rng.random(n_real) < 0.7  # rejects inside runs
+    prio = rng.permutation(n_real).astype(np.int32)
+
+    pad = cap - n_real
+    # padding tail repeats real keys non-contiguously; never inlier
+    pk = rng.integers(0, n_real, pad)
+    ys = np.concatenate([ky, ky[pk]]).astype(np.int32)
+    xs = np.concatenate([kx, kx[pk]]).astype(np.int32)
+    disp = np.concatenate([disp, np.zeros(pad)]).astype(np.float32)
+    inlier = np.concatenate([inlier, np.zeros(pad, bool)])
+    prio = np.concatenate([prio, np.zeros(pad, np.int32)])
+    return ys, xs, disp, inlier, prio
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("window", [None, (2, 3, 40, 50)])
+def test_runs_matches_max_oracle(seed, window):
+    rng = np.random.default_rng(seed)
+    h, w = 48, 64
+    ys, xs, disp, inlier, prio = _runs_case(
+        rng, n_real=1500, cap=CAPACITY, h=h, w=w, key_space=(h + 4, w + 4)
+    )
+    kw = dict(
+        height=h,
+        width=w,
+        priority=prio,
+        pad_shape=(64, 128) if window else None,
+        window=window,
+    )
+    ref = scatter_disp_packed(
+        ys, xs, disp, inlier, method="max", **kw
+    )
+    got = scatter_disp_packed(
+        ys, xs, disp, inlier, method="runs", run_keys=(ys, xs), **kw
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_runs_all_reject_run():
+    """A run whose every lane is rejected must leave its pixel at 0."""
+    ys = np.array([3, 3, 3, 5], np.int32)
+    xs = np.array([7, 7, 7, 1], np.int32)
+    disp = np.array([4.0, 9.0, 2.0, 1.0], np.float32)
+    inlier = np.array([False, False, False, True])
+    prio = np.array([0, 1, 2, 3], np.int32)
+    out = scatter_disp_packed(
+        ys, xs, disp, inlier, height=8, width=8,
+        priority=prio, method="runs", run_keys=(ys, xs),
+    )
+    out = np.asarray(out)
+    assert out[3, 7] == 0
+    assert out[5, 1] != 0
+
+
+@pytest.mark.parametrize("camera_perspective", [False, True])
+@pytest.mark.parametrize("hbm", [False, True])
+def test_engine_target_sorted_frame_bit_exact(camera_perspective, hbm):
+    """make_sorted_batch's target secondary key + depth_frame
+    presort_runs must reproduce the arrival-order device-sorted frame
+    bit-for-bit, with duplicated events forcing same-target runs."""
+    calib = make_synthetic_calibration(
+        camera_width=128, camera_height=96,
+        projector_width=96, projector_height=128,
+    )
+    engine = XMapsDepthEngine.from_calibration(
+        calib, event_capacity=CAPACITY, z_near=0.2, z_far=1.2,
+        use_pallas_tail=False, use_pallas_events=False,
+        camera_perspective=camera_perspective,
+    )
+    events = simulate_plane_events(
+        calib, depth_m=0.6, subsample=0.25, jitter_us=2.0,
+        rng=np.random.default_rng(5),
+    )
+    # duplicate a stride so many pixels get >= 2 candidate events with
+    # distinct priorities (the duplicate, arriving later, must win)
+    events = np.concatenate([events, events[::5]])[: CAPACITY - 64]
+
+    if hbm:
+        plan = build_event_gather_hbm_plan(
+            engine.tables.cam_map_packed, engine.x_map_np, band_rows=32
+        )
+    else:
+        plan = build_event_gather_plan(
+            engine.tables.cam_map_packed, engine.x_map_np
+        )
+    engine.event_plan = plan
+
+    b, prio, bands = engine.make_sorted_batch(events)
+    ref = depth_frame(
+        EventBatch.from_structured(events, CAPACITY),
+        engine.tables, engine.cfg,
+        event_plan=plan, pallas_interpret=True,
+    )
+    got = depth_frame(
+        b, engine.tables, engine.cfg,
+        event_plan=plan, pallas_interpret=True,
+        presort_priority=prio, presort_bands=bands,
+        presort_runs=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.disp_map), np.asarray(ref.disp_map)
+    )
+    np.testing.assert_array_equal(np.asarray(got.depth), np.asarray(ref.depth))
+    np.testing.assert_array_equal(
+        np.asarray(got.frame_bgr), np.asarray(ref.frame_bgr)
+    )
+    assert int(got.num_inliers) == int(ref.num_inliers)
+
+
+def test_presort_runs_requires_host_sort():
+    calib = make_synthetic_calibration(
+        camera_width=128, camera_height=96,
+        projector_width=96, projector_height=128,
+    )
+    engine = XMapsDepthEngine.from_calibration(
+        calib, event_capacity=CAPACITY, z_near=0.2, z_far=1.2,
+        use_pallas_tail=False, use_pallas_events=False,
+    )
+    events = simulate_plane_events(
+        calib, depth_m=0.6, subsample=0.1, jitter_us=2.0,
+        rng=np.random.default_rng(7),
+    )
+    plan = build_event_gather_plan(
+        engine.tables.cam_map_packed, engine.x_map_np
+    )
+    with pytest.raises(ValueError, match="presort_runs"):
+        depth_frame(
+            EventBatch.from_structured(events, CAPACITY),
+            engine.tables, engine.cfg,
+            event_plan=plan, pallas_interpret=True, presort_runs=True,
+        )
+
+
+@pytest.mark.parametrize("hbm", [False, True])
+def test_compact_presort_staging_bit_exact(hbm):
+    """Host target-sorted compact staging (HostStagingPool presort_fn +
+    lane-index priorities) must reproduce the arrival-order program
+    bit-for-bit, duplicates included."""
+    import jax.numpy as jnp
+
+    from xmaps_tpu.io.prefetch import (
+        CompactLayout,
+        HostStagingPool,
+        unpack_staged_compact,
+    )
+
+    calib = make_synthetic_calibration(
+        camera_width=128, camera_height=96,
+        projector_width=96, projector_height=128,
+    )
+    engine = XMapsDepthEngine.from_calibration(
+        calib, event_capacity=CAPACITY, z_near=0.2, z_far=1.2,
+        use_pallas_tail=False, use_pallas_events=False,
+    )
+    if hbm:
+        engine.event_plan = build_event_gather_hbm_plan(
+            engine.tables.cam_map_packed, engine.x_map_np, band_rows=32
+        )
+    else:
+        engine.event_plan = build_event_gather_plan(
+            engine.tables.cam_map_packed, engine.x_map_np
+        )
+    events = simulate_plane_events(
+        calib, depth_m=0.6, subsample=0.25, jitter_us=2.0,
+        rng=np.random.default_rng(9),
+    )
+    events = np.concatenate([events, events[::4]])[: CAPACITY - 32]
+
+    layout = CompactLayout.for_pipeline(engine.cfg)
+    assert layout is not None
+    pool = HostStagingPool(
+        CAPACITY, depth=2, layout=layout,
+        presort_fn=engine.compact_presort,
+    )
+    staged = pool.stage_compact(events)
+    assert staged.bands is not None
+    assert staged.bands.shape == ((CAPACITY // 1024, 2) if hbm else (0, 2))
+
+    batch, ts = unpack_staged_compact(staged, layout)
+    got = depth_frame(
+        batch, engine.tables, engine.cfg,
+        event_plan=engine.event_plan, pallas_interpret=True,
+        t_scaled=ts,
+        presort_priority=jnp.arange(CAPACITY, dtype=jnp.int32),
+        presort_bands=staged.bands if staged.bands.shape[0] else None,
+        presort_runs=True,
+    )
+    ref = depth_frame(
+        EventBatch.from_structured(events, CAPACITY),
+        engine.tables, engine.cfg,
+        event_plan=engine.event_plan, pallas_interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.disp_map), np.asarray(ref.disp_map)
+    )
+    np.testing.assert_array_equal(np.asarray(got.depth), np.asarray(ref.depth))
+    np.testing.assert_array_equal(
+        np.asarray(got.frame_bgr), np.asarray(ref.frame_bgr)
+    )
+    assert int(got.num_inliers) == int(ref.num_inliers)

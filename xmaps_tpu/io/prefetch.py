@@ -117,10 +117,20 @@ class CompactLayout(NamedTuple):
 
 
 class CompactStagedBatch(NamedTuple):
-    """One staged frame at one uint32 word per event."""
+    """One staged frame at one uint32 word per event.
+
+    ``bands`` is non-None when the host staged the events TARGET-SORTED
+    (HostStagingPool presort_fn): the device program may then skip both
+    its event-banding sort and the scatter's dedup sort
+    (depth_frame presort_* args).  For HBM event plans it carries the
+    exact per-block X-map row bounds ((capacity/BLOCK, 2) i32, as in
+    models.depth_pipeline.make_sorted_batch); for resident plans it is an
+    empty (0, 2) marker (sorted, but the kernel computes its own rows).
+    """
 
     word: jax.Array  # (capacity,) uint32: x | y << bits_x | ts << (bx+by)
     count: jax.Array  # int32 scalar
+    bands: Optional[jax.Array] = None
 
 
 def unpack_staged_compact(
@@ -174,11 +184,22 @@ class HostStagingPool:
         depth: int = 2,
         device: Optional[jax.Device] = None,
         layout: Optional[CompactLayout] = None,
+        presort_fn=None,
     ):
+        """``presort_fn(evs, ts) -> (order, bands)``: host target-sort for
+        compact staging (models.depth_pipeline.XMapsDepthEngine
+        .compact_presort).  ``order`` permutes the frame's events into
+        scatter-target order (stable, so arrival order survives within
+        equal targets and lane index works as the last-write-wins
+        priority); ``bands`` ships with the staged batch (see
+        CompactStagedBatch).  The argsort runs on the host staging path,
+        off the device's critical path, and buys the device program both
+        sort eliminations (~60 us/frame at 28k)."""
         assert depth >= 2, "need >= 2 slots to overlap H2D with compute"
         self.capacity = capacity
         self.device = device
         self.layout = layout
+        self.presort_fn = presort_fn
         self._slots = [
             {
                 "xy": np.zeros(capacity, np.uint32),
@@ -248,8 +269,14 @@ class HostStagingPool:
             self.events_truncated += len(evs) - cap
 
         word = slot["word"]
+        bands = None
         if n:
             ts = _scale_time_int_host(evs["t"][:n], lay.t_px_scale)
+            xs = evs["x"][:n]
+            ys = evs["y"][:n]
+            if self.presort_fn is not None:
+                order, bands = self.presort_fn(evs[:n], ts)
+                xs, ys, ts = xs[order], ys[order], ts[order]
             np.left_shift(
                 ts.astype(np.uint32),
                 lay.bits_x + lay.bits_y,
@@ -258,15 +285,22 @@ class HostStagingPool:
             )
             np.bitwise_or(
                 word[:n],
-                evs["y"][:n].astype(np.uint32) << lay.bits_x,
+                ys.astype(np.uint32) << lay.bits_x,
                 out=word[:n],
             )
             np.bitwise_or(
-                word[:n], evs["x"][:n].astype(np.uint32), out=word[:n]
+                word[:n], xs.astype(np.uint32), out=word[:n]
             )
+        elif self.presort_fn is not None:
+            _, bands = self.presort_fn(evs[:0], np.zeros(0, np.int32))
         word[n:] = 0
 
         self.frames_staged += 1
+        if bands is not None:
+            w_d, n_d, b_d = jax.device_put(
+                (word, np.int32(n), bands), self.device
+            )
+            return CompactStagedBatch(word=w_d, count=n_d, bands=b_d)
         w_d, n_d = jax.device_put((word, np.int32(n)), self.device)
         return CompactStagedBatch(word=w_d, count=n_d)
 

@@ -153,6 +153,21 @@ class XMapsDepthEngine:
 
             def staged_compact_frame(staged, tables, cfg):
                 batch, ts = unpack_staged_compact(staged, layout)
+                kw = {}
+                if staged.bands is not None and self.event_plan is not None:
+                    # host target-sorted staging (compact_presort): the
+                    # stable sort preserves arrival order within a target,
+                    # so the lane index IS a valid last-write-wins
+                    # priority -- no priority upload needed
+                    kw = dict(
+                        presort_priority=jnp.arange(
+                            batch.x.shape[0], dtype=jnp.int32
+                        ),
+                        presort_bands=(
+                            staged.bands if staged.bands.shape[0] else None
+                        ),
+                        presort_runs=True,
+                    )
                 return depth_frame(
                     batch,
                     tables,
@@ -161,6 +176,7 @@ class XMapsDepthEngine:
                     event_plan=self.event_plan,
                     t_scaled=ts,
                     display_only=True,
+                    **kw,
                 )
 
             self._staged_compact_fn = jax.jit(
@@ -420,45 +436,106 @@ class XMapsDepthEngine:
         the carried priorities and (for HBM plans) exact per-block X-map
         row bands.
 
-        The sort key is the RECTIFIED row (one host LUT lookup per event,
-        folded into the staging copy): a 1024-event block then spans the
-        events' true X-map row range instead of the raw-row proxy --
+        The primary sort key is the RECTIFIED row (one host LUT lookup per
+        event, folded into the staging copy): a 1024-event block then spans
+        the events' true X-map row range instead of the raw-row proxy --
         the HBM kernel's streamed bands tighten (roughly halved at the
         ESL eval geometry) and the resident kernel's in-kernel
         min/max row loop narrows the same way.  For HBM plans the exact
         bounds additionally ship as a (n/BLOCK, 2) i32 array.
+
+        For integer timestamps the secondary key is the SCATTER TARGET,
+        which the host can mirror exactly: the raw X-map value
+        x_map[yg, clip(t_bin)] for the projector view (the host reuses the
+        exact integer time-binning of io.prefetch compact staging), or the
+        raw coordinates for the camera view.  Same-target lanes are then
+        contiguous, so the device scatter skips its sort and finds each
+        pixel's winner with a cheap run scan (ops.scatter method="runs",
+        wired by _group_fn via depth_frame(presort_runs=True)).
 
         Returns (batch, priority, bands); bands is None for resident
         plans (the kernel computes its own).  Results are bit-identical
         regardless of sort order (the priority carries the arrival
         index).
         """
-        from xmaps_tpu.ops.pallas_events import BLOCK, EventGatherHBMPlan
+        from xmaps_tpu.io.prefetch import _scale_time_int_host
+        from xmaps_tpu.ops.pallas_events import EventGatherHBMPlan
 
         cap = self.cfg.event_capacity
         n = min(len(events), cap)
         events = events[:n]
-        mapy = self.maps.disp_cam_mapy_i16
-        xmap_h = self.x_map_np.shape[0]
-        yg = np.clip(
-            mapy[events["y"], events["x"]].astype(np.int32), 0, xmap_h - 1
-        )
-        batch, prio = EventBatch.from_structured_sorted(events, cap, key=yg)
+        ts = None
+        if n and np.issubdtype(events.dtype["t"].type, np.integer):
+            ts = _scale_time_int_host(events["t"], self.cfg.t_px_scale)
+        yg, key = self._host_target_key(events, ts)
+        batch, prio = EventBatch.from_structured_sorted(events, cap, key=key)
 
         if not isinstance(self.event_plan, EventGatherHBMPlan):
             return batch, prio, None
+        return batch, prio, jnp.asarray(self._block_bands(np.sort(yg)))
 
-        # padding lanes rectify (0, 0); include them where they appear
-        yg_sorted = np.full(cap, np.clip(int(mapy[0, 0]), 0, xmap_h - 1),
-                            np.int32)
-        yg_sorted[:n] = np.sort(yg, kind="stable")
-        blocks = yg_sorted.reshape(cap // BLOCK, BLOCK)
+    def _host_target_key(self, events: np.ndarray, ts):
+        """(yg, sort key) for host target-sorting: clipped rectified row
+        (the event kernel's banding key), with the exact scatter target as
+        the secondary when ``ts`` (host-binned X-map time, may be None)
+        allows the host to mirror it -- the raw X-map value for the
+        projector view, raw coordinates for the camera view."""
+        mapy = self.maps.disp_cam_mapy_i16
+        xmap_h, xmap_w = self.x_map_np.shape
+        yg = np.clip(
+            mapy[events["y"], events["x"]].astype(np.int32), 0, xmap_h - 1
+        )
+        if ts is None:
+            return yg, yg
+        if self.cfg.camera_perspective:
+            sec = (
+                events["y"].astype(np.int64) * self.cfg.camera_width
+                + events["x"]
+            )
+        else:
+            tg = np.clip(ts, 0, xmap_w - 1)
+            # X-map values are non-negative i16, so the raw value is its
+            # own order key (matches the device's x_proj exactly)
+            sec = self.x_map_np[yg, tg].astype(np.int64)
+        assert xmap_h <= (1 << 26) and int(sec.max(initial=0)) < (1 << 26)
+        return yg, (yg.astype(np.int64) << 26) | sec
+
+    def _block_bands(self, yg_sorted: np.ndarray) -> np.ndarray:
+        """Exact per-1024-event-block X-map row bounds for the HBM event
+        kernel, padded to capacity with the padding lanes' rectified row
+        (padding events carry (0, 0) coordinates)."""
+        from xmaps_tpu.ops.pallas_events import BLOCK
+
+        cap = self.cfg.event_capacity
+        mapy = self.maps.disp_cam_mapy_i16
+        xmap_h = self.x_map_np.shape[0]
+        full = np.full(cap, np.clip(int(mapy[0, 0]), 0, xmap_h - 1), np.int32)
+        full[: len(yg_sorted)] = yg_sorted
+        blocks = full.reshape(cap // BLOCK, BLOCK)
         lo = blocks.min(axis=1)
         hi = blocks.max(axis=1)
-        bands = np.stack(
+        return np.stack(
             [(lo // 8) * 8, hi // 8 + 1 - lo // 8], axis=1
         ).astype(np.int32)
-        return batch, prio, jnp.asarray(bands)
+
+    def compact_presort(self, events: np.ndarray, ts: np.ndarray):
+        """Host target-sort hook for io.prefetch compact staging
+        (HostStagingPool presort_fn): returns (order, bands).
+
+        ``order`` stable-sorts the frame's events by (rectified row,
+        scatter target) -- the staged lane index then works as the
+        last-write-wins priority (stable keeps arrival order within a
+        target) and the device program skips both its sorts
+        (depth_frame(presort_runs=True)).  ``bands`` is the HBM plan's
+        per-block bounds, or an empty (0, 2) sorted-marker for resident
+        plans."""
+        from xmaps_tpu.ops.pallas_events import EventGatherHBMPlan
+
+        yg, key = self._host_target_key(events, ts)
+        order = np.argsort(key, kind="stable")
+        if not isinstance(self.event_plan, EventGatherHBMPlan):
+            return order, np.zeros((0, 2), np.int32)
+        return order, self._block_bands(yg[order])
 
     def process_frame(self, events: np.ndarray) -> FrameResult:
         """events: structured array with x/y/t/p (one projector frame)."""
@@ -521,6 +598,10 @@ class XMapsDepthEngine:
                         event_plan=self.event_plan,
                         presort_priority=prio,
                         presort_bands=bands,
+                        # make_sorted_batch's integer-t secondary key is
+                        # the scatter target -> the scatter can use the
+                        # sort-free runs method
+                        presort_runs=prio is not None,
                     )
                     for b, prio, bands in staged
                 ]

@@ -44,6 +44,11 @@ class DisparityResult(NamedTuple):
     y_rect: jax.Array  # (N,) int32 rectified y (i16 semantics)
     inlier: jax.Array  # (N,) bool
     t_scaled: jax.Array  # (N,) int32 X-map time bin
+    #: (N,) int32 raw clipped X-map value x_map[clip(yr), clip(t)], defined
+    #: for EVERY lane (not zeroed by the inlier mask) -- the host can
+    #: mirror it exactly, which makes it usable as a scatter run key
+    #: (ops.scatter method="runs")
+    x_proj: jax.Array | None = None
 
 
 def rectify_events(
@@ -206,7 +211,8 @@ def compute_event_disparity_pallas(
     inlier = y_in & (disp >= 0) & (ts >= 0) & (ts < W_time)
     disp_f32 = jnp.where(inlier, disp, 0).astype(jnp.float32)
     res = DisparityResult(
-        disp=disp_f32, x_rect=xr, y_rect=yr, inlier=inlier, t_scaled=ts
+        disp=disp_f32, x_rect=xr, y_rect=yr, inlier=inlier, t_scaled=ts,
+        x_proj=x_proj,
     )
     return res, (xs, ys), prio
 
@@ -257,5 +263,6 @@ def compute_event_disparity(
 
     disp_f32 = jnp.where(inlier, disp, 0).astype(jnp.float32)
     return DisparityResult(
-        disp=disp_f32, x_rect=xr, y_rect=yr, inlier=inlier, t_scaled=t_scaled
+        disp=disp_f32, x_rect=xr, y_rect=yr, inlier=inlier, t_scaled=t_scaled,
+        x_proj=x_proj,
     )

@@ -81,6 +81,7 @@ def depth_frame(
     t_scaled=None,
     presort_priority=None,
     presort_bands=None,
+    presort_runs: bool = False,
     display_only: bool = False,
 ) -> FrameResult:
     """One projector frame of events -> colorized depth map.
@@ -103,6 +104,11 @@ def depth_frame(
     EventBatch.from_structured_sorted) marks the batch as already y-sorted
     on the host, skipping the device sort in the Pallas event path --
     bit-identical results, ~36 us less device time per frame at 28k.
+    ``presort_runs`` additionally marks the host sort key as the SCATTER
+    TARGET (rectified row + raw X-map value for the projector view, raw
+    coordinates for the camera view -- make_sorted_batch computes both
+    exactly), so same-pixel lanes are contiguous and the scatter skips
+    its own device sort too (ops.scatter method="runs", ~23 us less).
     ``display_only`` returns FrameResult with depth and disp_map as None
     -- the reference's per-frame output surface (disp_to_depth.py emits
     only the colorized frame; depth/disparity are intermediates).  The
@@ -135,6 +141,11 @@ def depth_frame(
             "presort_priority/presort_bands are only consumed by the "
             "Pallas event path (event_plan set, no frame filter, integer "
             "timestamps)"
+        )
+    if presort_runs and presort_priority is None:
+        raise ValueError(
+            "presort_runs requires a host-sorted batch (presort_priority): "
+            "run contiguity is a property of the host sort key"
         )
 
     if use_pallas_events:
@@ -178,7 +189,21 @@ def depth_frame(
 
     # The sort-dedup scatter strategy wins on TPU (unique-indices set
     # parallelizes; duplicate-capable max serializes) -- see ops.scatter.
+    # Host target-sorted batches upgrade to "runs" (no device sort at all).
     scatter_method = "sorted" if use_pallas_events else "max"
+    run_keys = None
+    if presort_runs:
+        scatter_method = "runs"
+        if cfg.camera_perspective:
+            run_keys = (ev_y, ev_x)
+        else:
+            # clipped row + raw X-map value: the exact key the host
+            # sorted by, defined for every lane (rejects included)
+            h_xmap = tables.x_map.shape[0]
+            run_keys = (
+                jnp.clip(res.y_rect, 0, h_xmap - 1),
+                res.x_proj,
+            )
 
     if cfg.camera_perspective:
         if tail_plan is not None:
@@ -197,6 +222,7 @@ def depth_frame(
                 priority=priority,
                 pad_shape=(tail_plan.H_pad, tail_plan.W_pad),
                 method=scatter_method,
+                run_keys=run_keys,
             )
             frame, depth, disp_map = pallas_colorize(
                 packed_map,
@@ -221,6 +247,7 @@ def depth_frame(
                 width=cfg.camera_width,
                 priority=priority,
                 method=scatter_method,
+                run_keys=run_keys,
             )
         )
         disp_for_depth = disp_map
@@ -243,6 +270,7 @@ def depth_frame(
                 priority=priority,
                 pad_shape=(tail_plan.H_pad, tail_plan.W_pad),
                 method=scatter_method,
+                run_keys=run_keys,
                 window=(
                     tail_plan.crop_row0,
                     tail_plan.crop_col0,

@@ -81,6 +81,19 @@ class DepthReprojectionPipe:
             self.engine.cfg.event_capacity,
             depth=2,
             layout=self.engine.compact_layout,
+            # host target-sort during compact staging: the device program
+            # then skips both its sorts (event banding + scatter dedup);
+            # the argsort rides the staging path, which already overlaps
+            # the previous frame's device compute
+            presort_fn=(
+                self.engine.compact_presort
+                if (
+                    self.engine.event_plan is not None
+                    and self.engine.cfg.frame_filter == "none"
+                    and self.engine.compact_layout is not None
+                )
+                else None
+            ),
         )
         # Slot capacity tracks the arrival-packet size (a quarter frame,
         # EV_PACKETS_PER_FRAME), not the frame capacity: every staged
