@@ -2,12 +2,14 @@
 duplicate-capable "max" oracle.
 
 The runs method's contract (ops.scatter): same-target lanes contiguous
-among real lanes, run keys defined for every lane, winners resolved by a
-key-gated doubling suffix-max scan.  These tests force the hazardous
-configurations: duplicate targets, rejected (non-inlier) lanes
-interspersed INSIDE a run, all-reject runs, out-of-window targets, and
-padding lanes at the tail whose keys coincide with real runs
-(non-contiguous key repeats -- harmless because padding never wins).
+among real lanes, each run ordered [scatter-rejects..., kept lanes in
+ascending priority] (the host mirrors the scatter's exact ``ok`` mask
+into its sort key), run keys defined for every lane, winner = the run's
+last kept lane (one neighbor compare on device).  These tests force the
+hazardous configurations: duplicate targets, rejected lanes inside runs,
+all-reject runs, out-of-window targets, and padding lanes at the tail
+whose keys coincide with real runs (non-contiguous key repeats --
+harmless because the winner test is local and padding never wins).
 """
 
 import numpy as np
@@ -29,16 +31,32 @@ from xmaps_tpu.utils.synthetic import (
 CAPACITY = 2048
 
 
-def _runs_case(rng, n_real, cap, h, w, key_space):
+def _runs_case(rng, n_real, cap, h, w, key_space, window):
     """Host-sorted lanes with dense target collisions + reject lanes
-    interspersed, padded to cap with key-coincident padding lanes."""
+    inside runs, padded to cap with key-coincident padding lanes.
+
+    Mirrors the host's sort contract: within each run the lanes the
+    scatter will REJECT (the exact ok mask: inlier, window bounds, disp
+    range) come first, kept lanes follow in ascending priority."""
+    from xmaps_tpu.ops.scatter import PACK
+
     ky = rng.integers(0, key_space[0], n_real)
     kx = rng.integers(0, key_space[1], n_real)
-    order = np.lexsort((kx, ky))
-    ky, kx = ky[order], kx[order]
     disp = rng.integers(0, 500, n_real)
     inlier = rng.random(n_real) < 0.7  # rejects inside runs
     prio = rng.permutation(n_real).astype(np.int32)
+    # the scatter's exact ok mask, mirrored like the host does
+    oy, ox, wh, ww = window if window else (0, 0, h, w)
+    ok = (
+        inlier
+        & (ky >= oy) & (ky < oy + wh)
+        & (kx >= ox) & (kx < ox + ww)
+        & (disp >= 0) & (disp < PACK)
+    )
+    order = np.lexsort((prio, ok, kx, ky))
+    ky, kx, disp, inlier, prio = (
+        ky[order], kx[order], disp[order], inlier[order], prio[order]
+    )
 
     pad = cap - n_real
     # padding tail repeats real keys non-contiguously; never inlier
@@ -57,7 +75,8 @@ def test_runs_matches_max_oracle(seed, window):
     rng = np.random.default_rng(seed)
     h, w = 48, 64
     ys, xs, disp, inlier, prio = _runs_case(
-        rng, n_real=1500, cap=CAPACITY, h=h, w=w, key_space=(h + 4, w + 4)
+        rng, n_real=1500, cap=CAPACITY, h=h, w=w, key_space=(h + 4, w + 4),
+        window=window,
     )
     kw = dict(
         height=h,

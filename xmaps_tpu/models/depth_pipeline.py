@@ -479,26 +479,69 @@ class XMapsDepthEngine:
         (the event kernel's banding key), with the exact scatter target as
         the secondary when ``ts`` (host-binned X-map time, may be None)
         allows the host to mirror it -- the raw X-map value for the
-        projector view, raw coordinates for the camera view."""
+        projector view, raw coordinates for the camera view.
+
+        The key's low bit is the scatter's exact ``ok`` mask (inlier +
+        crop-window bounds + disp < PACK -- every term is integer LUT
+        math the host reproduces bit-for-bit), so a stable sort leaves
+        each run as [rejects..., kept in arrival order]: the run's winner
+        is then its LAST kept lane and the device scatter needs only a
+        neighbor compare (ops.scatter method="runs")."""
+        from xmaps_tpu.config import X_OFFSET
+        from xmaps_tpu.ops.scatter import PACK
+
         mapy = self.maps.disp_cam_mapy_i16
         xmap_h, xmap_w = self.x_map_np.shape
-        yg = np.clip(
-            mapy[events["y"], events["x"]].astype(np.int32), 0, xmap_h - 1
-        )
+        yr = mapy[events["y"], events["x"]].astype(np.int32)
+        yg = np.clip(yr, 0, xmap_h - 1)
         if ts is None:
             return yg, yg
+        xr = self.maps.disp_cam_mapx_i16[events["y"], events["x"]].astype(
+            np.int32
+        )
+        tg = np.clip(ts, 0, xmap_w - 1)
+        x_proj = self.x_map_np[yg, tg].astype(np.int32)
+        disp = x_proj - xr - X_OFFSET
+        # mirrors ops.disparity inlier math: rectified row in-range
+        # (padding-lane validity is moot -- only real lanes are sorted),
+        # non-negative disparity, time bin in the X-map
+        ok = (
+            (yr >= 0)
+            & (yr < xmap_h - 1)
+            & (disp >= 0)
+            & (ts >= 0)
+            & (ts < xmap_w)
+            & (disp < PACK)
+        )
         if self.cfg.camera_perspective:
+            # raw-coordinate targets; decoder coords are in-bounds by
+            # construction, mirrored anyway for exactness
+            ok &= (events["y"] < self.cfg.camera_height) & (
+                events["x"] < self.cfg.camera_width
+            )
             sec = (
                 events["y"].astype(np.int64) * self.cfg.camera_width
                 + events["x"]
             )
         else:
-            tg = np.clip(ts, 0, xmap_w - 1)
+            # target pixel (y_rect, x_proj - X_OFFSET); bounds are the
+            # tail plan's crop window, or the full rect frame without one
+            tp = self.tail_plan
+            if tp is not None and hasattr(tp, "crop_row0"):
+                oy, ox, wh, ww = tp.crop_row0, tp.crop_col0, tp.H, tp.W
+            else:
+                oy = ox = 0
+                wh, ww = self.cfg.rect_height, self.cfg.rect_width
+            xt = x_proj - X_OFFSET
+            ok &= (
+                (yr >= oy) & (yr < oy + wh) & (xt >= ox) & (xt < ox + ww)
+            )
             # X-map values are non-negative i16, so the raw value is its
             # own order key (matches the device's x_proj exactly)
-            sec = self.x_map_np[yg, tg].astype(np.int64)
+            sec = x_proj.astype(np.int64)
         assert xmap_h <= (1 << 26) and int(sec.max(initial=0)) < (1 << 26)
-        return yg, (yg.astype(np.int64) << 26) | sec
+        key = (yg.astype(np.int64) << 27) | (sec << 1) | ok
+        return yg, key
 
     def _block_bands(self, yg_sorted: np.ndarray) -> np.ndarray:
         """Exact per-1024-event-block X-map row bounds for the HBM event

@@ -80,11 +80,20 @@ def scatter_disp_packed(
       for EVERY lane (winners and rejects alike; e.g. the clipped
       rectified row + raw X-map value) with: equal (ky, kx) <=> same
       target pixel, and equal keys contiguous among real lanes.  The
-      per-pixel winner is found with a key-gated doubling suffix-max
-      scan (~3 us), then the same unique-indices scatter-set.  Wrapped
-      or padding-lane key coincidences are harmless: the combine is a
-      max gated on key equality, equal keys always mean the same pixel,
-      and padding lanes carry packed == 0 so they never win.
+      host additionally sorts, WITHIN each run, all lanes this scatter
+      will reject (the exact ``ok`` mask below, which the host mirrors
+      bit-for-bit) before all lanes it will keep, keeps kept lanes in
+      ascending ``priority`` order, and never assigns a real lane's key
+      to a trailing padding lane except contiguously -- so each run's
+      winner is simply its LAST kept lane, found with one neighbor
+      compare: a lane wins iff packed > 0 and its successor starts a
+      new key or carries packed == 0 (a padding lane or the rejects
+      prefix of nothing: kept lanes are a run's tail, so a same-key
+      successor with packed == 0 can only be padding).  Winners then go
+      through the same unique-indices scatter-set.  Non-adjacent
+      padding key coincidences are harmless (the test is local); the
+      final lane is forced to be a boundary so a single all-equal-key
+      batch still crowns its last lane.
     """
     n = ys.shape[0]
     if window is not None:
@@ -134,23 +143,19 @@ def scatter_disp_packed(
     if method == "runs":
         assert run_keys is not None, "method='runs' requires run_keys"
         ky, kx = run_keys
-        # every lane needs the FULL run max (a suffix scan alone would
-        # crown the run's last lane too: its suffix is just itself), so
-        # run the gated doubling scan in both directions and combine
-        ms = mp = packed
-        k = 1
-        while k < n:
-            same = (ky == jnp.roll(ky, -k)) & (kx == jnp.roll(kx, -k))
-            ms = jnp.where(same, jnp.maximum(ms, jnp.roll(ms, -k)), ms)
-            mp = jnp.where(
-                jnp.roll(same, k), jnp.maximum(mp, jnp.roll(mp, k)), mp
-            )
-            k *= 2
-        m = jnp.maximum(ms, mp)
-        # packed values are unique (distinct priorities), so each run has
-        # exactly one lane with packed == run max; packed > 0 excludes
-        # all-reject runs (their max is 0, shared by every member)
-        win = (packed == m) & (packed > jnp.uint32(0))
+        # the host sorted each run as [rejects..., kept ascending-packed],
+        # so the run's winner is its last kept lane: packed > 0 with a
+        # key boundary or a padding (packed == 0) successor.  One
+        # neighbor compare -- no scan, no sort.
+        iota = jax.lax.iota(jnp.int32, n)
+        boundary = (
+            (ky != jnp.roll(ky, -1))
+            | (kx != jnp.roll(kx, -1))
+            | (iota == n - 1)  # roll wraps; the final lane always ends a run
+        )
+        win = (packed > jnp.uint32(0)) & (
+            boundary | (jnp.roll(packed, -1) == jnp.uint32(0))
+        )
         tgt = jnp.where(win, lin, out_h * out_w)
         return out.at[tgt // out_w, tgt % out_w].set(
             packed, mode="drop", unique_indices=True
