@@ -81,19 +81,15 @@ class DepthReprojectionPipe:
             self.engine.cfg.event_capacity,
             depth=2,
             layout=self.engine.compact_layout,
-            # host target-sort during compact staging: the device program
-            # then skips both its sorts (event banding + scatter dedup);
-            # the argsort rides the staging path, which already overlaps
-            # the previous frame's device compute
-            presort_fn=(
-                self.engine.compact_presort
-                if (
-                    self.engine.event_plan is not None
-                    and self.engine.cfg.frame_filter == "none"
-                    and self.engine.compact_layout is not None
-                )
-                else None
-            ),
+            # Host target-sorting during compact staging (engine
+            # .compact_presort) would let the device skip both its sorts
+            # (~60 us/frame), but the argsort costs ~8 ms/frame on a
+            # 1-core host and sits on the event->display critical path --
+            # a bad trade for streaming, where device time is far below
+            # the frame period.  The pre-staged throughput paths (bench,
+            # offline eval, process_frame groups) use it instead; here
+            # the device does its own sorts.
+            presort_fn=None,
         )
         # Slot capacity tracks the arrival-packet size (a quarter frame,
         # EV_PACKETS_PER_FRAME), not the frame capacity: every staged
