@@ -256,3 +256,72 @@ def test_compact_presort_staging_bit_exact(hbm):
         np.asarray(got.frame_bgr), np.asarray(ref.frame_bgr)
     )
     assert int(got.num_inliers) == int(ref.num_inliers)
+
+
+@pytest.mark.parametrize("camera_perspective", [False, True])
+@pytest.mark.parametrize("use_tail_plan", [False, True])
+def test_host_ok_mirror_matches_device(camera_perspective, use_tail_plan):
+    """The host sort key's low bit must equal the scatter's exact keep
+    mask (run winner = last kept lane relies on it; a mismatch is a
+    unique-indices violation the bit-exact tests could mask as UB)."""
+    import jax.numpy as jnp
+
+    from xmaps_tpu.config import X_OFFSET
+    from xmaps_tpu.io.prefetch import _scale_time_int_host
+    from xmaps_tpu.ops.disparity import compute_event_disparity
+    from xmaps_tpu.ops.scatter import PACK
+
+    calib = make_synthetic_calibration(
+        camera_width=128, camera_height=96,
+        projector_width=96, projector_height=128,
+    )
+    engine = XMapsDepthEngine.from_calibration(
+        calib, event_capacity=CAPACITY, z_near=0.2, z_far=1.2,
+        use_pallas_tail=use_tail_plan, use_pallas_events=False,
+        camera_perspective=camera_perspective,
+    )
+    events = simulate_plane_events(
+        calib, depth_m=0.6, subsample=0.3, jitter_us=2.0,
+        rng=np.random.default_rng(13),
+    )
+    events = np.concatenate([events, events[::3]])[: CAPACITY - 16]
+    n = len(events)
+
+    ts = _scale_time_int_host(events["t"], engine.cfg.t_px_scale)
+    _, key = engine._host_target_key(events, ts)
+    host_ok = (np.asarray(key) & 1).astype(bool)
+
+    # device-side keep mask, reconstructed from the disparity stage the
+    # same way ops.frame_pipeline + ops.scatter apply it
+    batch = EventBatch.from_structured(events, n)
+    res = compute_event_disparity(
+        batch,
+        engine.tables.cam_mapx_i16,
+        engine.tables.cam_mapy_i16,
+        engine.tables.x_map,
+        t_px_scale=engine.cfg.t_px_scale,
+        t_scaled=jnp.asarray(ts),
+    )
+    disp_i = np.asarray(res.disp).astype(np.int64)
+    inlier = np.asarray(res.inlier)
+    if camera_perspective:
+        ys, xs = events["y"].astype(np.int64), events["x"].astype(np.int64)
+        oy = ox = 0
+        wh, ww = engine.cfg.camera_height, engine.cfg.camera_width
+    else:
+        ys = np.asarray(res.y_rect).astype(np.int64)
+        xs = np.asarray(res.x_proj).astype(np.int64) - X_OFFSET
+        tp = engine.tail_plan
+        if tp is not None:
+            oy, ox, wh, ww = tp.crop_row0, tp.crop_col0, tp.H, tp.W
+        else:
+            oy = ox = 0
+            wh, ww = engine.cfg.rect_height, engine.cfg.rect_width
+    dev_ok = (
+        inlier
+        & (ys - oy >= 0) & (ys - oy < wh)
+        & (xs - ox >= 0) & (xs - ox < ww)
+        & (disp_i >= 0) & (disp_i < PACK)
+    )
+    assert dev_ok.any() and not dev_ok.all(), "test needs both classes"
+    np.testing.assert_array_equal(host_ok, dev_ok)
