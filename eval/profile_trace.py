@@ -85,6 +85,7 @@ def main():
             depth_frame(
                 b, tables, cfg, tail_plan=tp, event_plan=ep,
                 presort_priority=prio, presort_bands=bands,
+                presort_runs=prio is not None,
                 display_only=disp_only,
             )
             for b, prio, bands in bs
