@@ -325,3 +325,50 @@ def test_host_ok_mirror_matches_device(camera_perspective, use_tail_plan):
     )
     assert dev_ok.any() and not dev_ok.all(), "test needs both classes"
     np.testing.assert_array_equal(host_ok, dev_ok)
+
+
+def test_runs_single_run_whole_array():
+    """Every lane one run (the jnp.roll wraparound case: no key boundary
+    anywhere, the forced final-lane boundary must crown the last kept
+    lane), rejects first per the contract."""
+    n = 16
+    ys = np.full(n, 5, np.int32)
+    xs = np.full(n, 9, np.int32)
+    disp = np.arange(n).astype(np.float32)
+    inlier = np.ones(n, bool)
+    inlier[:3] = False  # rejects sort first; kept lanes ascending prio
+    prio = np.arange(n, dtype=np.int32)
+    out = np.asarray(scatter_disp_packed(
+        ys, xs, disp, inlier, height=8, width=16,
+        priority=prio, method="runs", run_keys=(ys, xs),
+    ))
+    from xmaps_tpu.ops.scatter import PACK
+    assert out[5, 9] == (n - 1 + 1) * PACK + (n - 1)
+    assert (out != 0).sum() == 1
+
+
+def test_runs_all_padding():
+    """All lanes padding (packed == 0): the map must stay empty."""
+    n = 8
+    z = np.zeros(n, np.int32)
+    out = np.asarray(scatter_disp_packed(
+        z, z, z.astype(np.float32), np.zeros(n, bool),
+        height=4, width=4, priority=z, method="runs", run_keys=(z, z),
+    ))
+    assert (out == 0).all()
+
+
+def test_runs_trailing_padding_extends_last_run():
+    """Padding lanes sharing the LAST real run's key must not hide its
+    winner (the winner's successor carries packed == 0)."""
+    ys = np.array([2, 2, 2, 2], np.int32)
+    xs = np.array([3, 3, 3, 3], np.int32)
+    disp = np.array([7.0, 8.0, 0.0, 0.0], np.float32)
+    inlier = np.array([True, True, False, False])  # last two = padding
+    prio = np.array([0, 1, 0, 0], np.int32)
+    out = np.asarray(scatter_disp_packed(
+        ys, xs, disp, inlier, height=4, width=4,
+        priority=prio, method="runs", run_keys=(ys, xs),
+    ))
+    from xmaps_tpu.ops.scatter import PACK
+    assert out[2, 3] == 2 * PACK + 8
