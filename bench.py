@@ -39,7 +39,26 @@ def main():
         simulate_plane_events,
     )
 
-    dev = jax.devices()[0]
+    # Backend init retries: the tunneled TPU intermittently drops
+    # ("Unable to initialize backend 'axon'", BENCH_r03.json).  A bounded
+    # retry turns a transient outage into a delayed number instead of a
+    # failed artifact.
+    dev = None
+    last_err = None
+    for attempt in range(3):
+        try:
+            dev = jax.devices()[0]
+            break
+        except Exception as e:  # backend init failure, incl. RuntimeError
+            last_err = e
+            print(
+                f"# device init attempt {attempt + 1}/3 failed: {e}",
+                flush=True,
+            )
+            if attempt < 2:
+                time.sleep(30)
+    if dev is None:
+        raise SystemExit(f"device init failed after 3 attempts: {last_err}")
 
     # First device contact can block for minutes while the shared tunnel
     # reclaims a previous client's resources; absorb that here so it is

@@ -267,3 +267,23 @@ def test_prestage_skipped_while_behind(raw_file, calib):
     assert ring.packets_staged - staged_before < behind_calls["n"]
     # the global numbering stayed consistent: later frames still decode
     assert len(shown) >= 1
+
+
+def test_dryrun_multichip_child_sentinel_raises(monkeypatch):
+    """A relaunched dry-run child whose env is STILL not ready must raise
+    instead of spawning another subprocess (the inherited-XLA_FLAGS
+    recursion hazard): the guard fires before any jax import."""
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, "/root/repo")
+    try:
+        import __graft_entry__ as g
+    finally:
+        sys.path.pop(0)
+
+    monkeypatch.setenv("_XMAPS_DRYRUN_CHILD", "1")
+    # conftest pins 8 virtual devices; ask for more so _env_ready is false
+    with pytest.raises(RuntimeError, match="relaunched child"):
+        g.dryrun_multichip(64)

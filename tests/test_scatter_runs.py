@@ -372,3 +372,133 @@ def test_runs_trailing_padding_extends_last_run():
     ))
     from xmaps_tpu.ops.scatter import PACK
     assert out[2, 3] == 2 * PACK + 8
+
+
+def test_make_sorted_batch_rejects_float_timestamps():
+    """Float-t streams must be rejected (int64 staging would silently
+    truncate them and the row-only key would break the runs contract);
+    integer streams must report runs_ok."""
+    calib = make_synthetic_calibration(
+        camera_width=128, camera_height=96,
+        projector_width=96, projector_height=128,
+    )
+    engine = XMapsDepthEngine.from_calibration(
+        calib, event_capacity=CAPACITY, z_near=0.2, z_far=1.2,
+        use_pallas_tail=False, use_pallas_events=False,
+    )
+    events = simulate_plane_events(
+        calib, depth_m=0.6, subsample=0.1, jitter_us=2.0,
+        rng=np.random.default_rng(3),
+    )
+    sb = engine.make_sorted_batch(events)
+    assert sb.runs_ok
+    b, prio, bands = sb  # still unpacks as the historical 3-tuple
+    assert prio is not None
+
+    fdtype = [("x", "<u2"), ("y", "<u2"), ("p", "<i2"), ("t", "<f8")]
+    fevents = np.zeros(len(events), dtype=fdtype)
+    for f in ("x", "y", "p"):
+        fevents[f] = events[f]
+    fevents["t"] = events["t"].astype(np.float64) * 1e-6
+    with pytest.raises(ValueError, match="integer timestamps"):
+        engine.make_sorted_batch(fevents)
+
+
+def test_process_frames_float_t_falls_back_to_unsorted():
+    """process_frames with float-t frames must skip host presorting (the
+    runs scatter contract cannot hold) and still match process_frame."""
+    from xmaps_tpu.ops.pallas_events import build_event_gather_plan
+
+    calib = make_synthetic_calibration(
+        camera_width=128, camera_height=96,
+        projector_width=96, projector_height=128,
+    )
+    engine = XMapsDepthEngine.from_calibration(
+        calib, event_capacity=CAPACITY, z_near=0.2, z_far=1.2,
+        use_pallas_tail=False, use_pallas_events=False,
+    )
+    engine.event_plan = build_event_gather_plan(
+        engine.tables.cam_map_packed, engine.x_map_np
+    )
+    events = simulate_plane_events(
+        calib, depth_m=0.6, subsample=0.15, jitter_us=2.0,
+        rng=np.random.default_rng(11),
+    )
+    fdtype = [("x", "<u2"), ("y", "<u2"), ("p", "<i2"), ("t", "<f8")]
+    fevents = np.zeros(len(events), dtype=fdtype)
+    for f in ("x", "y", "p"):
+        fevents[f] = events[f]
+    fevents["t"] = events["t"].astype(np.float64)
+
+    group = engine.process_frames([fevents])
+    ref = engine.process_frame(fevents)
+    np.testing.assert_array_equal(
+        np.asarray(group[0].depth), np.asarray(ref.depth)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(group[0].frame_bgr), np.asarray(ref.frame_bgr)
+    )
+    assert int(group[0].num_inliers) == int(ref.num_inliers)
+
+
+@pytest.mark.parametrize("camera_perspective", [False, True])
+def test_host_target_key_corrupt_coordinates(camera_perspective):
+    """Out-of-range x/y (a malformed/corrupt stream) must not raise in
+    host staging, and the host ok bit must still equal the device keep
+    mask (the device clips LUT indices; the host mirrors that)."""
+    import jax.numpy as jnp
+
+    from xmaps_tpu.config import X_OFFSET
+    from xmaps_tpu.io.prefetch import _scale_time_int_host
+    from xmaps_tpu.ops.disparity import compute_event_disparity
+    from xmaps_tpu.ops.scatter import PACK
+
+    calib = make_synthetic_calibration(
+        camera_width=128, camera_height=96,
+        projector_width=96, projector_height=128,
+    )
+    engine = XMapsDepthEngine.from_calibration(
+        calib, event_capacity=CAPACITY, z_near=0.2, z_far=1.2,
+        use_pallas_tail=False, use_pallas_events=False,
+        camera_perspective=camera_perspective,
+    )
+    events = simulate_plane_events(
+        calib, depth_m=0.6, subsample=0.2, jitter_us=2.0,
+        rng=np.random.default_rng(29),
+    ).copy()
+    # corrupt a stride of lanes with out-of-range coordinates
+    events["x"][::7] = engine.cfg.camera_width + 50
+    events["y"][::11] = engine.cfg.camera_height + 7
+    n = len(events)
+
+    ts = _scale_time_int_host(events["t"], engine.cfg.t_px_scale)
+    _, key = engine._host_target_key(events, ts)  # must not raise
+    host_ok = (np.asarray(key) & 1).astype(bool)
+
+    batch = EventBatch.from_structured(events, n)
+    res = compute_event_disparity(
+        batch,
+        engine.tables.cam_mapx_i16,
+        engine.tables.cam_mapy_i16,
+        engine.tables.x_map,
+        t_px_scale=engine.cfg.t_px_scale,
+        t_scaled=jnp.asarray(ts),
+    )
+    disp_i = np.asarray(res.disp).astype(np.int64)
+    inlier = np.asarray(res.inlier)
+    if camera_perspective:
+        ys, xs = events["y"].astype(np.int64), events["x"].astype(np.int64)
+        oy = ox = 0
+        wh, ww = engine.cfg.camera_height, engine.cfg.camera_width
+    else:
+        ys = np.asarray(res.y_rect).astype(np.int64)
+        xs = np.asarray(res.x_proj).astype(np.int64) - X_OFFSET
+        oy = ox = 0
+        wh, ww = engine.cfg.rect_height, engine.cfg.rect_width
+    dev_ok = (
+        inlier
+        & (ys - oy >= 0) & (ys - oy < wh)
+        & (xs - ox >= 0) & (xs - ox < ww)
+        & (disp_i >= 0) & (disp_i < PACK)
+    )
+    np.testing.assert_array_equal(host_ok, dev_ok)

@@ -431,6 +431,28 @@ class XMapsDepthEngine:
     def make_batch(self, events: np.ndarray) -> EventBatch:
         return EventBatch.from_structured(events, self.cfg.event_capacity)
 
+    class SortedBatch(tuple):
+        """(batch, priority, bands) with a host-side ``runs_ok`` flag.
+
+        Unpacks like the plain 3-tuple callers always used.  ``runs_ok``
+        records whether the sort key carried the EXACT scatter target
+        (only possible for integer timestamps, which the host time-binning
+        mirrors bit-for-bit) -- i.e. whether the batch satisfies the
+        "runs" scatter's same-target-contiguity contract (ops.scatter
+        method="runs").  A rectified-row-only sort (float timestamps)
+        still helps the event kernel's banding but must NOT enable the
+        sort-free scatter: same-target lanes would not be contiguous and
+        the unique-indices scatter-set would silently emit multiple
+        winners per pixel.
+        """
+
+        runs_ok: bool
+
+        def __new__(cls, batch, priority, bands, runs_ok):
+            self = super().__new__(cls, (batch, priority, bands))
+            self.runs_ok = bool(runs_ok)
+            return self
+
     def make_sorted_batch(self, events: np.ndarray):
         """Host-staged batch in the event kernel's preferred order, plus
         the carried priorities and (for HBM plans) exact per-block X-map
@@ -464,15 +486,32 @@ class XMapsDepthEngine:
         cap = self.cfg.event_capacity
         n = min(len(events), cap)
         events = events[:n]
+        if n and not np.issubdtype(events.dtype["t"].type, np.integer):
+            # EventBatch.from_structured_sorted stores t as int64 -- a
+            # float stream would be silently truncated AND the row-only
+            # fallback key would break the runs scatter's contiguity
+            # contract downstream.  Integer timestamps are what every real
+            # EVT stream carries; float streams take the unsorted path.
+            raise ValueError(
+                "make_sorted_batch requires integer timestamps (host "
+                "target-sorting mirrors the integer time binning); use "
+                "make_batch/process_frame for float-t streams"
+            )
         ts = None
-        if n and np.issubdtype(events.dtype["t"].type, np.integer):
+        if n:
             ts = _scale_time_int_host(events["t"], self.cfg.t_px_scale)
         yg, key = self._host_target_key(events, ts)
         batch, prio = EventBatch.from_structured_sorted(events, cap, key=key)
 
+        # runs_ok: the "runs" scatter contract holds only when the key
+        # carried the exact scatter target (integer timestamps; an empty
+        # frame is trivially contiguous).
+        runs_ok = ts is not None or n == 0
         if not isinstance(self.event_plan, EventGatherHBMPlan):
-            return batch, prio, None
-        return batch, prio, jnp.asarray(self._block_bands(np.sort(yg)))
+            return self.SortedBatch(batch, prio, None, runs_ok)
+        return self.SortedBatch(
+            batch, prio, jnp.asarray(self._block_bands(np.sort(yg))), runs_ok
+        )
 
     def _host_target_key(self, events: np.ndarray, ts):
         """(yg, sort key) for host target-sorting: clipped rectified row
@@ -492,13 +531,18 @@ class XMapsDepthEngine:
 
         mapy = self.maps.disp_cam_mapy_i16
         xmap_h, xmap_w = self.x_map_np.shape
-        yr = mapy[events["y"], events["x"]].astype(np.int32)
+        # Clip the LUT indices exactly like the device path
+        # (ops.disparity.rectify_events*, jnp.clip to the camera dims): a
+        # malformed stream with out-of-range x/y must degrade to the same
+        # masked lanes the device produces, not an IndexError (or a
+        # silently different row via negative wrapping) in host staging.
+        yi = np.clip(events["y"].astype(np.int64), 0, mapy.shape[0] - 1)
+        xi = np.clip(events["x"].astype(np.int64), 0, mapy.shape[1] - 1)
+        yr = mapy[yi, xi].astype(np.int32)
         yg = np.clip(yr, 0, xmap_h - 1)
         if ts is None:
             return yg, yg
-        xr = self.maps.disp_cam_mapx_i16[events["y"], events["x"]].astype(
-            np.int32
-        )
+        xr = self.maps.disp_cam_mapx_i16[yi, xi].astype(np.int32)
         tg = np.clip(ts, 0, xmap_w - 1)
         x_proj = self.x_map_np[yg, tg].astype(np.int32)
         disp = x_proj - xr - X_OFFSET
@@ -604,11 +648,21 @@ class XMapsDepthEngine:
         if not frames:
             return []
         presort = (
-            self.event_plan is not None and self.cfg.frame_filter == "none"
+            self.event_plan is not None
+            and self.cfg.frame_filter == "none"
+            # float-t streams cannot be host-staged (make_sorted_batch
+            # raises: int64 staging would truncate them); they flow
+            # through the unsorted XLA path instead
+            and all(
+                np.issubdtype(ev.dtype["t"].type, np.integer)
+                for ev in frames
+            )
         )
         if presort:
             staged = [self.make_sorted_batch(ev) for ev in frames]
+            runs = all(s.runs_ok for s in staged)
         else:
+            runs = False
             staged = [
                 (
                     EventBatch.from_structured(ev, self.cfg.event_capacity),
@@ -617,17 +671,17 @@ class XMapsDepthEngine:
                 )
                 for ev in frames
             ]
-        fn = self._group_fn(len(frames), presort)
+        fn = self._group_fn(len(frames), presort, runs)
         return fn(staged, self.tables)
 
-    def _group_fn(self, size: int, presort: bool):
+    def _group_fn(self, size: int, presort: bool, runs: bool = False):
         import functools
 
         import jax
 
         from xmaps_tpu.ops.frame_pipeline import depth_frame
 
-        key = (size, presort)
+        key = (size, presort, runs)
         cache = self.__dict__.setdefault("_group_cache", {})
         if key not in cache:
 
@@ -641,10 +695,12 @@ class XMapsDepthEngine:
                         event_plan=self.event_plan,
                         presort_priority=prio,
                         presort_bands=bands,
-                        # make_sorted_batch's integer-t secondary key is
-                        # the scatter target -> the scatter can use the
-                        # sort-free runs method
-                        presort_runs=prio is not None,
+                        # the sort-free runs scatter requires the staged
+                        # batch to satisfy the target-contiguity contract
+                        # (SortedBatch.runs_ok, integer timestamps only);
+                        # a row-only presort keeps the banding win but
+                        # must fall back to the device-sorted scatter
+                        presort_runs=runs and prio is not None,
                     )
                     for b, prio, bands in staged
                 ]
