@@ -248,18 +248,17 @@ def test_mc3d_matches_oracle(rng):
     )
     Wp, Hp = calib.projector_width, calib.projector_height
     tables = build_mc3d_tables(calib, Wp, Hp, calib.camera_width, calib.camera_height)
-    xc, yc, PX, PY, INV, p03, _ = tables
+    xc, yc, PX, PY, p03, _ = tables
 
     cam = np.zeros((calib.camera_height, calib.camera_width), np.float32)
     mask = rng.random(cam.shape) < 0.3
     cam[mask] = rng.random(mask.sum()).astype(np.float32)
 
-    got = np.asarray(mc3d_disparity_dense(cam, tables, Wp, Hp))
+    # chunk=5 forces uneven slab boundaries (2*nc=8 -> a partial last slab)
+    got = np.asarray(mc3d_disparity_dense(cam, tables, Wp, Hp, chunk=5))
     want = oracle_mc3d(cam, xc, yc, PX, PY, Wp, Hp, Wp * 3, Hp * 3)
-    # the dense version uses the global column inverse clamped to the
-    # window -- identical wherever |yc - PY| is unimodal in the window
-    mismatch = (got != want).mean()
-    assert mismatch < 0.01, f"mismatch rate {mismatch}"
+    # the windowed-argmin sweep is EXACT vs the reference's per-pixel scan
+    np.testing.assert_array_equal(got, want)
 
 
 # ---------------------------------------------------------------------------

@@ -15,13 +15,14 @@ time-surface scan:
    the minimum is <= 50 rows and the disparity
    trunc(proj_inverse_map_x[y, proj_x]) - xc is positive, keep it (:60-75)
 
-The inner search is restructured for TPU: the projector inverse row map is
-monotone in y along each column, so its inverse INV[x, y_rect] = argmin_y
-|PY[y, x] - y_rect| is precomputed per column on the host (searchsorted)
-and the per-pixel search becomes two dense gathers -- the candidate row is
-INV clamped into the +-nc window (equal to the reference's window argmin
-wherever |yc - PY| is unimodal in the window, i.e. everywhere the map is
-monotone) followed by the same <= 50 and disparity > 0 acceptance tests.
+The inner search is restructured for TPU as a dense windowed argmin: a
+``lax.fori_loop`` sweeps the window in row chunks, gathering
+PY[y, proj_x] for every camera pixel at once and carrying the running
+(min |yc - PY|, argmin y) with strict-less updates -- ascending scan
+order reproduces np.argmin's FIRST-minimum tie semantics bit-for-bit
+(:60-75), so the result is EXACT, not the earlier clamped-global-inverse
+approximation (which matched only where |yc - PY| was unimodal in the
+window).  The same <= 50 and disparity > 0 acceptance tests follow.
 
 Depth = P[0,3] / disparity with zero-preserve (:15-17), saved to
 mc3d/depth/scansNNN.npy for the evaluation table.
@@ -43,9 +44,9 @@ DIFF_Y_MAX = 50  # reference eval/mc3d_baseline.py:71
 def build_mc3d_tables(calib, proj_w: int, proj_h: int, cam_w: int, cam_h: int):
     """Host-precomputed static tables (the reference's map setup, :108-113).
 
-    Returns (xc, yc, PX, PY, INV, p03): truncated inverse rect maps for the
-    camera grid, truncated inverse rect maps for the projector grid, the
-    per-column inverse of PY, and the depth scale.
+    Returns (xc, yc, PX, PY, p03, rect_size): truncated inverse rect maps
+    for the camera grid, truncated inverse rect maps for the projector
+    grid, and the depth scale.
     """
     from xmaps_tpu.calib.geometry import (
         init_undistort_rectify_map_inverse,
@@ -74,40 +75,23 @@ def build_mc3d_tables(calib, proj_w: int, proj_h: int, cam_w: int, cam_h: int):
     yc = cam_my.astype(np.int32)
     PX = proj_mx.astype(np.int32)  # (Hp, Wp)
     PY = proj_my.astype(np.int32)
-
-    # per-column inverse of PY: INV[x, yr] = argmin_y |PY[y, x] - yr|,
-    # first occurrence on ties (np.argmin semantics).
-    rect_h = proj_h * 3  # yc values live in the 3x rectified frame bounds
-    INV = np.zeros((proj_w, rect_h), dtype=np.int32)
-    for x in range(proj_w):
-        col = PY[:, x].astype(np.int64)
-        order = np.argsort(col, kind="stable")
-        sorted_col = col[order]
-        q = np.arange(rect_h)
-        pos = np.searchsorted(sorted_col, q)
-        pos_lo = np.clip(pos - 1, 0, proj_h - 1)
-        pos_hi = np.clip(pos, 0, proj_h - 1)
-        # PY is int-truncated, so duplicate-value runs are common; map each
-        # candidate to the FIRST position of its value run so the stable
-        # sort yields the smallest original y -- np.argmin's first-minimum
-        # semantics in the reference's linear search (:64-71)
-        pos_lo = np.searchsorted(sorted_col, sorted_col[pos_lo])
-        pos_hi = np.searchsorted(sorted_col, sorted_col[pos_hi])
-        d_lo = np.abs(sorted_col[pos_lo] - q)
-        d_hi = np.abs(sorted_col[pos_hi] - q)
-        cand_lo = order[pos_lo]
-        cand_hi = order[pos_hi]
-        # nearest value; on equal distance prefer the smaller ORIGINAL y
-        take_lo = (d_lo < d_hi) | ((d_lo == d_hi) & (cand_lo < cand_hi))
-        INV[x] = np.where(take_lo, cand_lo, cand_hi).astype(np.int32)
-    return xc, yc, PX, PY, INV, float(P2[0, 3]), rect_size
+    return xc, yc, PX, PY, float(P2[0, 3]), rect_size
 
 
-def mc3d_disparity_dense(cam_image, tables, proj_w: int, proj_h: int):
-    """Dense MC3D correspondence (reference compute_disparity, :40-78)."""
+def mc3d_disparity_dense(
+    cam_image, tables, proj_w: int, proj_h: int, chunk: int = 16
+):
+    """Dense MC3D correspondence (reference compute_disparity, :40-78).
+
+    Bit-exact to the reference's per-pixel window scan: a fori_loop sweeps
+    the 2*nc window in ``chunk``-row slabs, gathering PY for every pixel
+    at once; strict-less carry updates + in-chunk argmin (both
+    first-occurrence) reproduce np.argmin's tie semantics exactly.
+    """
+    import jax
     import jax.numpy as jnp
 
-    xc_np, yc_np, PX_np, PY_np, INV_np, p03, rect_size = tables
+    xc_np, yc_np, PX_np, PY_np, p03, rect_size = tables
     rect_w3, rect_h3 = proj_w * 3, proj_h * 3  # reference rectified_shape
     nc = proj_h // 15
 
@@ -116,8 +100,6 @@ def mc3d_disparity_dense(cam_image, tables, proj_w: int, proj_h: int):
     yc = jnp.asarray(yc_np)
     PXf = jnp.asarray(PX_np.reshape(-1))
     PYf = jnp.asarray(PY_np.reshape(-1))
-    INVf = jnp.asarray(INV_np.reshape(-1))
-    rect_h = INV_np.shape[1]
 
     valid = cam > 0
     # reference :52-57: strict in-bounds of the rectified event coords
@@ -130,19 +112,43 @@ def mc3d_disparity_dense(cam_image, tables, proj_w: int, proj_h: int):
     proj_y = pid_c % proj_h
     valid &= in_id
 
-    # candidate row: global per-column inverse, clamped into the window
-    yc_c = jnp.clip(yc, 0, rect_h - 1)
-    y_glob = INVf[proj_x * rect_h + yc_c]
-    y_lo = jnp.maximum(proj_y - nc, 0)
-    y_hi = jnp.minimum(proj_y + nc, proj_h) - 1
-    y_best = jnp.clip(y_glob, y_lo, y_hi)
+    # windowed argmin of |yc - PY[y, proj_x]| over
+    # y in [max(proj_y - nc, 0), min(proj_y + nc, proj_h))  (:60-71)
+    BIG = jnp.int32(1 << 30)
+    n_steps = -(-2 * nc // chunk)
+    ks = jnp.arange(chunk, dtype=jnp.int32)
 
-    lin = y_best * proj_w + proj_x
-    py = PYf[lin]
-    px = PXf[lin]
-    diff = jnp.abs(yc - py)
+    def body(s, carry):
+        best_diff, best_y = carry
+        # candidate rows for this slab, ascending: (chunk, H, W)
+        k = s * chunk + ks
+        y_k = proj_y[None] + (k - nc)[:, None, None]
+        # k < 2*nc: the last slab may be partial and must not scan past
+        # the reference's window upper bound min(proj_y + nc, proj_h)
+        ok_k = (y_k >= 0) & (y_k < proj_h) & (k < 2 * nc)[:, None, None]
+        lin = jnp.clip(y_k, 0, proj_h - 1) * proj_w + proj_x[None]
+        d = jnp.where(ok_k, jnp.abs(yc[None] - PYf[lin]), BIG)
+        # first minimum within the slab (jnp.argmin picks the first)...
+        arg = jnp.argmin(d, axis=0)
+        d_min = jnp.take_along_axis(d, arg[None], axis=0)[0]
+        y_min = jnp.take_along_axis(y_k, arg[None], axis=0)[0]
+        # ...and strict-less across slabs keeps the earliest overall
+        upd = d_min < best_diff
+        return (
+            jnp.where(upd, d_min, best_diff),
+            jnp.where(upd, y_min, best_y),
+        )
+
+    best_diff, best_y = jax.lax.fori_loop(
+        0,
+        n_steps,
+        body,
+        (jnp.full(cam.shape, BIG, jnp.int32), jnp.zeros(cam.shape, jnp.int32)),
+    )
+
+    px = PXf[jnp.clip(best_y, 0, proj_h - 1) * proj_w + proj_x]
     disp = px - xc
-    ok = valid & (diff <= DIFF_Y_MAX) & (disp > 0)
+    ok = valid & (best_diff <= DIFF_Y_MAX) & (disp > 0)
     return jnp.where(ok, disp, 0).astype(jnp.float32)
 
 
@@ -186,7 +192,7 @@ def main(argv=None):
     tables = build_mc3d_tables(
         calib, args.proj_width, args.proj_height, args.cam_width, args.cam_height
     )
-    p03 = tables[5]
+    p03 = tables[4]
 
     for k in range(args.start_scan, min(args.start_scan + args.num_scans, len(scan_files))):
         cam_image = np.load(scan_files[k])
