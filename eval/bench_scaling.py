@@ -39,6 +39,13 @@ def main(argv=None):
         ).strip()
 
     import jax
+
+    # A site plugin may force-register the tunneled TPU platform and
+    # override jax_platforms at import time; with the tunnel down its
+    # backend init hangs indefinitely.  Re-pin AFTER the import (same
+    # recipe as tests/conftest.py) so only the cpu client initializes.
+    jax.config.update("jax_platforms", "cpu")
+
     import numpy as np
 
     from xmaps_tpu.config import PipelineConfig
@@ -94,7 +101,11 @@ def main(argv=None):
         t0 = time.perf_counter()
         for _ in range(args.steps):
             out = pipeline(stacked)
-        jax.block_until_ready(out)
+            # block every step: queueing several 8-participant collective
+            # runs on one shared core can starve XLA's 40 s rendezvous
+            # (observed as a hard abort); per-step sync costs ~nothing at
+            # these step times and keeps the measurement well-defined
+            jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         step_ms = dt / args.steps * 1e3
         results[f"{data}x{event}"] = {
@@ -109,10 +120,60 @@ def main(argv=None):
     for v in results.values():
         v["weak_scaling_eff"] = round(base / v["frame_ms"], 3)
 
+    # LIVE group path: the engine's host-staged per-frame programs (target
+    # -sorted staging + runs scatter) data-parallel over the mesh -- the
+    # multi-sequence streaming regime as ONE program (the moral
+    # equivalent of the reference's GNU-parallel fan-out).  Bit-exactness
+    # vs process_frame is pinned by tests/test_sharding.py; this records
+    # the same structural weak-scaling row for it.
+    from xmaps_tpu.ops.pallas_events import build_event_gather_plan
+
+    engine.event_plan = build_event_gather_plan(
+        engine.tables.cam_map_packed, engine.x_map_np
+    )
+    raw_frames = [
+        simulate_plane_events(
+            calib, depth_m=0.4 + 0.03 * i, subsample=0.25,
+            rng=np.random.default_rng(100 + i),
+        )
+        for i in range(8)
+    ]
+    group_live = {}
+    for data in (1, 2, 4, 8):
+        mesh = make_mesh(devices[:data], data=data, event=1)
+        out = engine.process_frames_sharded(
+            raw_frames[:data], mesh, pallas_interpret=True
+        )  # compile + warmup (staging redone per call, like live use)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            out = engine.process_frames_sharded(
+                raw_frames[:data], mesh, pallas_interpret=True
+            )
+        jax.block_until_ready(out)
+        step_ms = (time.perf_counter() - t0) / args.steps * 1e3
+        group_live[f"{data}x1"] = {
+            "frames_per_step": data,
+            "step_ms": round(step_ms, 3),
+            "frame_ms": round(step_ms / data, 3),
+        }
+        assert all(int(o.num_inliers) > 0 for o in out)
+    gbase = group_live["1x1"]["frame_ms"]
+    for v in group_live.values():
+        v["weak_scaling_eff"] = round(gbase / v["frame_ms"], 3)
+
     doc = {
         "metric": "weak_scaling_virtual_8dev_cpu",
         "mesh_axes": ["data (frames)", "event (within-frame)"],
         "results": results,
+        "group_live_path": {
+            "what": "engine.process_frames_sharded: host target-sorted "
+            "staging + runs scatter + fused per-frame program, data-"
+            "parallel as ONE shard_map program incl. host re-staging per "
+            "step (the live multi-sequence regime; bit-exact vs "
+            "process_frame per tests/test_sharding.py)",
+            "results": group_live,
+        },
         "events_per_frame": int(frames[0].count),
         "collectives": "pmin/pmax frame-time scalars + pmax packed "
         "disparity image + psum inlier count (event axis only)",

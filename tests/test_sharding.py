@@ -165,3 +165,51 @@ def test_sharded_pallas_plans_match(rig):
     np.testing.assert_array_equal(
         np.asarray(got.frame_bgr), np.asarray(want.frame_bgr)
     )
+
+
+def test_group_sharded_live_path_matches_process_frame(rig):
+    """The LIVE group dispatch (host target-sorted staging + runs scatter
+    + fused kernels) sharded over the data axis must match the
+    single-chip process_frame bit-for-bit, including list padding for a
+    frame count that does not divide the mesh."""
+    calib, cfg, tables = rig
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+
+    from xmaps_tpu.models.depth_pipeline import XMapsDepthEngine
+    from xmaps_tpu.ops.pallas_events import build_event_gather_plan
+
+    engine = XMapsDepthEngine.from_calibration(
+        calib, event_capacity=4096, z_near=0.2, z_far=1.2,
+        use_pallas_tail=False, use_pallas_events=False,
+    )
+    engine.event_plan = build_event_gather_plan(
+        engine.tables.cam_map_packed, engine.x_map_np
+    )
+    rng = np.random.default_rng(21)
+    frames = [
+        simulate_plane_events(
+            calib, depth_m=0.45 + 0.07 * i, subsample=0.3, jitter_us=2.0,
+            rng=rng,
+        )
+        for i in range(6)  # 6 frames on a 4-device mesh -> 2 pad frames
+    ]
+    mesh = make_mesh(jax.devices()[:4], data=4, event=1)
+    out = engine.process_frames_sharded(
+        frames, mesh, pallas_interpret=True
+    )
+    assert len(out) == 6
+    for ev, got in zip(frames, out):
+        ref = engine.process_frame(ev)
+        np.testing.assert_array_equal(
+            np.asarray(got.disp_map), np.asarray(ref.disp_map)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.depth), np.asarray(ref.depth)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.frame_bgr), np.asarray(ref.frame_bgr)
+        )
+        assert int(got.num_inliers) == int(ref.num_inliers)
+    # one compiled program per (B, mode, mesh)
+    assert len(engine._sharded_group_cache) == 1

@@ -708,6 +708,87 @@ class XMapsDepthEngine:
             cache[key] = jax.jit(functools.partial(group, cfg=self.cfg))
         return cache[key]
 
+    def process_frames_sharded(
+        self, frames: list, mesh=None, *, pallas_interpret: bool = False
+    ) -> list:
+        """Dispatch many independent frames as ONE device program sharded
+        over a multi-chip mesh's ``data`` axis (the multi-camera /
+        multi-sequence live regime scaled across chips; the single-chip
+        analog is :meth:`process_frames`).
+
+        Each device runs the engine's full fused per-frame program (host
+        target-sorted staging, runs scatter, Pallas kernels) on its shard
+        of frames; frames are independent so no collectives cross the
+        mesh.  Results are bit-identical to :meth:`process_frame` per
+        element (tests/test_sharding.py).  The frame list is padded to a
+        multiple of the mesh's data size with empty frames (their outputs
+        are dropped).
+
+        ``mesh``: a ('data', 'event') Mesh with event == 1; defaults to
+        pure data-parallel over all visible devices.
+        """
+        import jax
+
+        from xmaps_tpu.parallel.sharding import (
+            make_group_sharded_pipeline,
+            make_mesh,
+            shard_staged_group,
+        )
+
+        if not frames:
+            return []
+        if mesh is None:
+            mesh = make_mesh(jax.devices(), event=1)
+        data = mesh.shape["data"]
+
+        pad = (-len(frames)) % data
+        padded = list(frames) + [frames[0][:0]] * pad
+        presort = (
+            self.event_plan is not None
+            and self.cfg.frame_filter == "none"
+            and all(
+                np.issubdtype(ev.dtype["t"].type, np.integer)
+                for ev in frames
+            )
+        )
+        if presort:
+            staged = [self.make_sorted_batch(ev) for ev in padded]
+            mode = "runs" if all(s.runs_ok for s in staged) else "prio"
+        else:
+            staged = [
+                (
+                    EventBatch.from_structured(ev, self.cfg.event_capacity),
+                    None,
+                    None,
+                )
+                for ev in padded
+            ]
+            mode = "none"
+
+        key = (
+            len(padded),
+            mode,
+            pallas_interpret,
+            tuple(mesh.shape.items()),
+            tuple(d.id for d in mesh.devices.flat),
+        )
+        cache = self.__dict__.setdefault("_sharded_group_cache", {})
+        if key not in cache:
+            cache[key] = make_group_sharded_pipeline(
+                self.cfg,
+                self.tables,
+                mesh,
+                tail_plan=self.tail_plan,
+                event_plan=self.event_plan,
+                presort=mode,
+                pallas_interpret=pallas_interpret,
+            )
+        batch, prio, bands = shard_staged_group(staged, mesh)
+        out = cache[key](batch, prio, bands)
+        return [
+            jax.tree.map(lambda a: a[i], out) for i in range(len(frames))
+        ]
+
     def process_batch_device(self, batch: EventBatch) -> FrameResult:
         return self._frame_fn(batch, self.tables)
 

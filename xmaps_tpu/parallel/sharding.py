@@ -39,7 +39,13 @@ from xmaps_tpu.ops.image_tail import (
 )
 from xmaps_tpu.ops.scatter import scatter_disp_packed, unpack_disp
 
-__all__ = ["make_mesh", "make_sharded_pipeline", "shard_batches"]
+__all__ = [
+    "make_mesh",
+    "make_sharded_pipeline",
+    "make_group_sharded_pipeline",
+    "shard_batches",
+    "shard_staged_group",
+]
 
 
 def make_mesh(
@@ -266,6 +272,126 @@ def make_sharded_pipeline(
         return sharded(batch, tables)
 
     return pipeline
+
+
+def make_group_sharded_pipeline(
+    cfg: PipelineConfig,
+    tables: DeviceTables,
+    mesh: Mesh,
+    tail_plan=None,
+    event_plan=None,
+    *,
+    presort: str = "none",
+    pallas_interpret: bool = False,
+):
+    """Data-parallel LIVE group pipeline: the engine's host-staged frame
+    programs (fused Pallas kernels + host target-sort + runs scatter --
+    the exact per-frame program ``process_frames`` dispatches) sharded
+    over the mesh's ``data`` axis as ONE jitted shard_map program.
+
+    This is the multi-camera / multi-sequence streaming regime scaled
+    across chips (the moral equivalent of the reference's GNU-parallel
+    fan-out, eval/x-map-eval.sh:49, but as a single device program over
+    ICI): frames are independent, no collectives cross 'data', and each
+    device runs the full single-chip fused pipeline on its shard -- so
+    per-chip performance and results match the single-chip engine exactly
+    (tests/test_sharding.py pins bit-equality).
+
+    Input: (batch, prio, bands) with a leading frame axis B
+    (B % mesh['data'] == 0), as produced by
+    :func:`shard_staged_group`.  ``presort``: "none" (unsorted batches,
+    prio/bands ignored), "prio" (host row-sorted), or "runs" (host
+    target-sorted; the sort-free scatter).  Event-sharded meshes are not
+    supported here -- use :func:`make_sharded_pipeline` for within-frame
+    event parallelism.
+    """
+    assert mesh.shape["event"] == 1, (
+        "group pipeline is data-parallel only; use make_sharded_pipeline "
+        "for event-sharded meshes"
+    )
+    assert presort in ("none", "prio", "runs")
+    from xmaps_tpu.ops.frame_pipeline import depth_frame
+
+    def local_fn(batch, prio, bands, tables):
+        b_local = batch.x.shape[0]
+        outs = []
+        for i in range(b_local):
+            kw = {}
+            if presort != "none":
+                kw = dict(
+                    presort_priority=prio[i],
+                    # zero-width bands = the resident-plan marker
+                    presort_bands=bands[i] if bands.shape[1] else None,
+                    presort_runs=presort == "runs",
+                )
+            outs.append(
+                depth_frame(
+                    jax.tree.map(lambda a: a[i], batch),
+                    tables,
+                    cfg,
+                    tail_plan=tail_plan,
+                    event_plan=event_plan,
+                    pallas_interpret=pallas_interpret,
+                    **kw,
+                )
+            )
+        return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *outs)
+
+    batch_specs = EventBatch(
+        x=P("data"), y=P("data"), t=P("data"), p=P("data"),
+        valid=P("data"), count=P("data"),
+    )
+    out_specs = FrameResult(
+        frame_bgr=P("data"),
+        depth=P("data"),
+        disp_map=P("data"),
+        num_inliers=P("data"),
+    )
+    sharded = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(batch_specs, P("data"), P("data"), P()),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def pipeline(batch, prio, bands):
+        return sharded(batch, prio, bands, tables)
+
+    return pipeline
+
+
+def shard_staged_group(staged: Sequence, mesh: Mesh) -> tuple:
+    """Stack host-staged (batch, priority, bands) triples (from
+    XMapsDepthEngine.make_sorted_batch, or (batch, None, None)) along a
+    leading frame axis and place the shards on the mesh's 'data' axis.
+
+    Returns (batch, prio, bands) ready for
+    :func:`make_group_sharded_pipeline`; prio/bands are zero-width
+    placeholders when the staging carried none (uniform pytree structure
+    keeps one compiled program per (B, presort) shape).
+    """
+    data_sharding = NamedSharding(mesh, P("data"))
+    batches = [s[0] for s in staged]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *batches)
+    batch = jax.tree.map(
+        lambda a: jax.device_put(a, data_sharding), stacked
+    )
+    B = len(staged)
+    if staged[0][1] is None:
+        prio = jnp.zeros((B, 0), jnp.int32)
+    else:
+        prio = jnp.stack([jnp.asarray(s[1]) for s in staged], axis=0)
+    if staged[0][2] is None:
+        bands = jnp.zeros((B, 0, 2), jnp.int32)
+    else:
+        bands = jnp.stack([jnp.asarray(s[2]) for s in staged], axis=0)
+    return (
+        batch,
+        jax.device_put(prio, data_sharding),
+        jax.device_put(bands, data_sharding),
+    )
 
 
 def shard_batches(
