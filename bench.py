@@ -21,6 +21,9 @@ import numpy as np
 
 
 def main():
+    from xmaps_tpu.utils.jaxenv import respect_jax_platforms
+
+    respect_jax_platforms()  # honor an explicit JAX_PLATFORMS (e.g. cpu)
     import jax
 
     # Persistent compile cache: repeated bench/app runs skip XLA

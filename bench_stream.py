@@ -28,6 +28,9 @@ import numpy as np
 
 
 def main():
+    from xmaps_tpu.utils.jaxenv import respect_jax_platforms
+
+    respect_jax_platforms()  # honor an explicit JAX_PLATFORMS (e.g. cpu)
     import jax
 
     jax.config.update(

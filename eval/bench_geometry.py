@@ -29,6 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
+    from xmaps_tpu.utils.jaxenv import respect_jax_platforms
+
+    respect_jax_platforms()  # honor an explicit JAX_PLATFORMS (e.g. cpu)
     ap = argparse.ArgumentParser()
     ap.add_argument("--geometry", choices=["esl", "demo"], default="esl")
     ap.add_argument("--frames", type=int, default=12)

@@ -43,6 +43,9 @@ def make_calib(geometry: str):
 
 
 def main(argv=None):
+    from xmaps_tpu.utils.jaxenv import respect_jax_platforms
+
+    respect_jax_platforms()  # honor an explicit JAX_PLATFORMS (e.g. cpu)
     ap = argparse.ArgumentParser()
     ap.add_argument("--geometry", choices=["esl", "demo", "both"],
                     default="both")

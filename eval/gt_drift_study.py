@@ -121,6 +121,28 @@ def reference_depth_init(scan_files, calib_yaml, proj_w, proj_h, cam_w, cam_h):
     return outs, dict(e3d=e3d, proj_image=proj_image, ref=ref)
 
 
+def make_scenes(proj_w: int, proj_h: int) -> dict:
+    """Synthetic scene depth maps in the projector view (H_p, W_p):
+    fronto-parallel planes plus tilted / discontinuous / curved relief,
+    widening the drift study beyond planes (real ESL scenes have all
+    three characteristics)."""
+    yy, xx = np.mgrid[0:proj_h, 0:proj_w]
+    u = xx / max(proj_w - 1, 1)
+    v = yy / max(proj_h - 1, 1)
+    return {
+        "plane_0.5": 0.5,
+        "plane_0.8": 0.8,
+        "tilted": 0.45 + 0.30 * u + 0.10 * v,
+        "step": np.where(u < 0.5, 0.52, 0.78),
+        "sinusoid": 0.65 + 0.06 * np.sin(2 * np.pi * 3 * u) * np.cos(2 * np.pi * 2 * v),
+        "dome": 0.80
+        - 0.22
+        * np.sqrt(
+            np.clip(1 - ((u - 0.5) / 0.45) ** 2 - ((v - 0.5) / 0.45) ** 2, 0, None)
+        ),
+    }
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/gt_drift")
@@ -129,8 +151,13 @@ def main(argv=None):
     ap.add_argument("--json", default=None)
     ap.add_argument("--crop", type=int, default=56,
                     help="refinement crop side length [px]")
+    ap.add_argument("--scenes", default="",
+                    help="comma-separated scene subset (default: all)")
     args = ap.parse_args(argv)
 
+    from xmaps_tpu.utils.jaxenv import respect_jax_platforms
+
+    respect_jax_platforms()  # JAX_PLATFORMS=cpu runs the study off-TPU
     from xmaps_tpu.apps import eval_esl, eval_xmaps
     from xmaps_tpu.utils.eval_metrics import evaluation_stats
     from xmaps_tpu.utils.synthetic import (
@@ -155,10 +182,14 @@ def main(argv=None):
 
     scans_dir = os.path.join(args.workdir, "scans_np")
     os.makedirs(scans_dir, exist_ok=True)
-    z_true = [0.5, 0.8]
+    scenes = make_scenes(proj_w, proj_h)
+    if args.scenes:
+        keep = args.scenes.split(",")
+        scenes = {k: scenes[k] for k in keep}
+    scene_names = list(scenes)
     rng = np.random.default_rng(5)
     scan_files = []
-    for i, z in enumerate(z_true):
+    for i, (name, z) in enumerate(scenes.items()):
         ev = simulate_plane_events(
             calib, depth_m=z, scan_upwards=False, subsample=subsample, rng=rng
         )
@@ -173,7 +204,7 @@ def main(argv=None):
         "-proj_height", str(proj_h),
         "-proj_width", str(proj_w),
         "-calib", yaml_path,
-        "-num_scans", str(len(z_true)),
+        "-num_scans", str(len(scenes)),
         "-cam_width", str(cam_w),
         "-cam_height", str(cam_h),
     ]
@@ -184,16 +215,16 @@ def main(argv=None):
     ours_s = time.time() - t0
     ours_init = [
         np.load(os.path.join(args.workdir, "esl", "depth_init", f"scans{i:03d}.npy"))
-        for i in range(len(z_true))
+        for i in range(len(scenes))
     ]
     ours_opt = [
         np.load(os.path.join(args.workdir, "esl", "depth_optim", f"scans{i:03d}.npy"))
-        for i in range(len(z_true))
+        for i in range(len(scenes))
     ]
     assert eval_xmaps.main(common + ["-no_pointcloud"]) == 0
     xmaps_depth = [
         np.load(os.path.join(args.workdir, "x_maps", "depth_init", f"scans{i:03d}.npy"))
-        for i in range(len(z_true))
+        for i in range(len(scenes))
     ]
 
     # ---- reference oracle ----------------------------------------------
@@ -211,7 +242,7 @@ def main(argv=None):
     }}
 
     c = args.crop
-    for i, z in enumerate(z_true):
+    for i, name in enumerate(scene_names):
         ref_i = ref_outs[i]["depth_init"]
         our_i = ours_init[i]
         both = (ref_i > 0) & (our_i > 0)
@@ -242,7 +273,7 @@ def main(argv=None):
         s_our = evaluation_stats(xm, np.where(bc, our_opt_crop, 0.0))
 
         report["scans"].append({
-            "z_true_m": z,
+            "scene": name,
             "init": {
                 "both_valid_px": int(both.sum()),
                 "only_ref_px": only_ref,
@@ -269,6 +300,22 @@ def main(argv=None):
             },
         })
 
+    # FR/RMSE shift distribution over the scene set: how far the
+    # reproduced Table-1 could drift from the paper's because our refined
+    # GT differs from the reference's.
+    fr = [s["induced_metric_shift"]["fillrate_shift"] for s in report["scans"]]
+    rm = [s["induced_metric_shift"]["rmse_shift"] for s in report["scans"]]
+    report["shift_distribution"] = {
+        "scenes": scene_names,
+        "fillrate_shift": {
+            "p50": float(np.median(fr)),
+            "max": float(np.max(fr)),
+        },
+        "rmse_shift": {
+            "p50": float(np.median(rm)),
+            "max": float(np.max(rm)),
+        },
+    }
     report["timing"] = {
         "ours_total_s": round(ours_s, 2),
         "ref_init_total_s": round(ref_init_s, 2),

@@ -39,6 +39,9 @@ def timed(fn, args_list, n_small=8, n_large=32, trials=6):
 
 
 def main():
+    from xmaps_tpu.utils.jaxenv import respect_jax_platforms
+
+    respect_jax_platforms()  # honor an explicit JAX_PLATFORMS (e.g. cpu)
     import jax
     import jax.numpy as jnp
 

@@ -41,6 +41,9 @@ def timed(fn, frames, n_small=4, n_large=16, trials=5):
 
 
 def main():
+    from xmaps_tpu.utils.jaxenv import respect_jax_platforms
+
+    respect_jax_platforms()  # honor an explicit JAX_PLATFORMS (e.g. cpu)
     import jax
     import jax.numpy as jnp
 

@@ -130,6 +130,9 @@ def main(
     bias, input, capture, loop_input, window, out_dir, profile_dir,
     low_latency, **cli_params,
 ):
+    from xmaps_tpu.utils.jaxenv import respect_jax_platforms
+
+    respect_jax_platforms()  # honor an explicit JAX_PLATFORMS (e.g. cpu)
     params = RuntimeParams(**cli_params)
 
     delta_t = 1e6 / params.projector_fps / EV_PACKETS_PER_FRAME

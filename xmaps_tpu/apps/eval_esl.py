@@ -272,6 +272,9 @@ def normalize_scan(cam_image: np.ndarray) -> np.ndarray:
 
 
 def main(argv=None):
+    from xmaps_tpu.utils.jaxenv import respect_jax_platforms
+
+    respect_jax_platforms()  # honor an explicit JAX_PLATFORMS (e.g. cpu)
     parser = argparse.ArgumentParser(
         description="ESL depth baseline (init + refined), TPU-native"
     )

@@ -153,6 +153,9 @@ def mc3d_disparity_dense(
 
 
 def main(argv=None):
+    from xmaps_tpu.utils.jaxenv import respect_jax_platforms
+
+    respect_jax_platforms()  # honor an explicit JAX_PLATFORMS (e.g. cpu)
     parser = argparse.ArgumentParser(
         description="MC3D temporal-correspondence baseline: per-scan depth "
         "maps for a camera+projector rig (TPU reimplementation)"

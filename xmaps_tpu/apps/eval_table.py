@@ -74,6 +74,9 @@ def evaluate_sequence(seq_dir: str, min_depth: float, max_depth: float):
 
 
 def main(argv=None):
+    from xmaps_tpu.utils.jaxenv import respect_jax_platforms
+
+    respect_jax_platforms()  # honor an explicit JAX_PLATFORMS (e.g. cpu)
     parser = argparse.ArgumentParser(
         description="Aggregate fill-rate / RMSE / Middlebury metrics across "
         "evaluated scenes into the paper's Table-1 rows"

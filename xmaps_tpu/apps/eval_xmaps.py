@@ -40,6 +40,9 @@ def scan_image_to_events(cam_image: np.ndarray):
 
 
 def main(argv=None):
+    from xmaps_tpu.utils.jaxenv import respect_jax_platforms
+
+    respect_jax_platforms()  # honor an explicit JAX_PLATFORMS (e.g. cpu)
     parser = argparse.ArgumentParser(
         description="Offline X-maps depth over ESL-style scan images "
         "(time-surface .npy per scan) on TPU; flag-compatible with the "

@@ -74,6 +74,9 @@ def shapes_depth_map(proj_w: int, proj_h: int, phase: float = 0.0) -> np.ndarray
 
 
 def main(argv=None):
+    from xmaps_tpu.utils.jaxenv import respect_jax_platforms
+
+    respect_jax_platforms()  # honor an explicit JAX_PLATFORMS (e.g. cpu)
     parser = argparse.ArgumentParser(description="Generate demo calibration + events")
     parser.add_argument("--out-dir", default="demo_data")
     parser.add_argument("--frames", type=int, default=60, help="Projector frames")
