@@ -288,7 +288,7 @@ def test_host_ok_mirror_matches_device(camera_perspective, use_tail_plan):
     n = len(events)
 
     ts = _scale_time_int_host(events["t"], engine.cfg.t_px_scale)
-    _, key = engine._host_target_key(events, ts)
+    _, key, _ = engine._host_target_key(events, ts)
     host_ok = (np.asarray(key) & 1).astype(bool)
 
     # device-side keep mask, reconstructed from the disparity stage the
@@ -472,7 +472,7 @@ def test_host_target_key_corrupt_coordinates(camera_perspective):
     n = len(events)
 
     ts = _scale_time_int_host(events["t"], engine.cfg.t_px_scale)
-    _, key = engine._host_target_key(events, ts)  # must not raise
+    _, key, _ = engine._host_target_key(events, ts)  # must not raise
     host_ok = (np.asarray(key) & 1).astype(bool)
 
     batch = EventBatch.from_structured(events, n)
@@ -502,3 +502,111 @@ def test_host_target_key_corrupt_coordinates(camera_perspective):
         & (disp_i >= 0) & (disp_i < PACK)
     )
     np.testing.assert_array_equal(host_ok, dev_ok)
+
+
+@pytest.mark.parametrize("camera_perspective", [False, True])
+@pytest.mark.parametrize("hbm", [False, True])
+def test_winner_batch_bit_exact(camera_perspective, hbm):
+    """Host winner compaction (make_winner_batch + presort_unique) must
+    reproduce the full-batch frame bit-for-bit -- same packed winners
+    (original arrival priorities), same disp/depth/frame, and the
+    host-mirrored num_inliers equal to the device count over the full
+    frame."""
+    calib = make_synthetic_calibration(
+        camera_width=128, camera_height=96,
+        projector_width=96, projector_height=128,
+    )
+    engine = XMapsDepthEngine.from_calibration(
+        calib, event_capacity=CAPACITY, z_near=0.2, z_far=1.2,
+        use_pallas_tail=False, use_pallas_events=False,
+        camera_perspective=camera_perspective,
+    )
+    events = simulate_plane_events(
+        calib, depth_m=0.6, subsample=0.25, jitter_us=2.0,
+        rng=np.random.default_rng(17),
+    )
+    # duplicates force contested pixels whose LAST arrival must win
+    events = np.concatenate([events, events[::4]])[: CAPACITY - 32]
+
+    if hbm:
+        plan = build_event_gather_hbm_plan(
+            engine.tables.cam_map_packed, engine.x_map_np, band_rows=32
+        )
+    else:
+        plan = build_event_gather_plan(
+            engine.tables.cam_map_packed, engine.x_map_np
+        )
+    engine.event_plan = plan
+
+    wb = engine.make_winner_batch(events)
+    batch_w, ts_w, prio_w, bands_w, n_inl = wb
+    assert batch_w.x.shape[0] <= CAPACITY
+
+    ref = depth_frame(
+        EventBatch.from_structured(events, CAPACITY),
+        engine.tables, engine.cfg,
+        event_plan=plan, pallas_interpret=True,
+    )
+    got = depth_frame(
+        batch_w, engine.tables, engine.cfg,
+        event_plan=plan, pallas_interpret=True,
+        t_scaled=ts_w,
+        presort_priority=prio_w, presort_bands=bands_w,
+        presort_unique=True, host_num_inliers=n_inl,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.disp_map), np.asarray(ref.disp_map)
+    )
+    np.testing.assert_array_equal(np.asarray(got.depth), np.asarray(ref.depth))
+    np.testing.assert_array_equal(
+        np.asarray(got.frame_bgr), np.asarray(ref.frame_bgr)
+    )
+    assert int(got.num_inliers) == int(ref.num_inliers)
+
+
+def test_winner_batch_empty_frame():
+    calib = make_synthetic_calibration(
+        camera_width=128, camera_height=96,
+        projector_width=96, projector_height=128,
+    )
+    engine = XMapsDepthEngine.from_calibration(
+        calib, event_capacity=CAPACITY, z_near=0.2, z_far=1.2,
+        use_pallas_tail=False, use_pallas_events=False,
+    )
+    engine.event_plan = build_event_gather_plan(
+        engine.tables.cam_map_packed, engine.x_map_np
+    )
+    events = simulate_plane_events(
+        calib, depth_m=0.6, subsample=0.1, rng=np.random.default_rng(1),
+    )[:0]
+    wb = engine.make_winner_batch(events)
+    batch_w, ts_w, prio_w, bands_w, n_inl = wb
+    assert n_inl == 0
+    got = depth_frame(
+        batch_w, engine.tables, engine.cfg,
+        event_plan=engine.event_plan, pallas_interpret=True,
+        t_scaled=ts_w, presort_priority=prio_w, presort_bands=bands_w,
+        presort_unique=True, host_num_inliers=n_inl,
+    )
+    assert int(got.num_inliers) == 0
+    assert (np.asarray(got.disp_map) == 0).all()
+
+
+def test_winner_batch_requires_integer_t():
+    calib = make_synthetic_calibration(
+        camera_width=128, camera_height=96,
+        projector_width=96, projector_height=128,
+    )
+    engine = XMapsDepthEngine.from_calibration(
+        calib, event_capacity=CAPACITY, z_near=0.2, z_far=1.2,
+        use_pallas_tail=False, use_pallas_events=False,
+    )
+    ev = simulate_plane_events(
+        calib, depth_m=0.6, subsample=0.1, rng=np.random.default_rng(2),
+    )
+    f = np.zeros(len(ev), dtype=[("x", "<u2"), ("y", "<u2"), ("p", "<i2"), ("t", "<f8")])
+    for k in ("x", "y", "p"):
+        f[k] = ev[k]
+    f["t"] = ev["t"].astype(np.float64)
+    with pytest.raises(ValueError, match="integer timestamps"):
+        engine.make_winner_batch(f)

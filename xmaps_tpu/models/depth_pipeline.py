@@ -500,7 +500,7 @@ class XMapsDepthEngine:
         ts = None
         if n:
             ts = _scale_time_int_host(events["t"], self.cfg.t_px_scale)
-        yg, key = self._host_target_key(events, ts)
+        yg, key, _ = self._host_target_key(events, ts)
         batch, prio = EventBatch.from_structured_sorted(events, cap, key=key)
 
         # runs_ok: the "runs" scatter contract holds only when the key
@@ -514,11 +514,14 @@ class XMapsDepthEngine:
         )
 
     def _host_target_key(self, events: np.ndarray, ts):
-        """(yg, sort key) for host target-sorting: clipped rectified row
-        (the event kernel's banding key), with the exact scatter target as
-        the secondary when ``ts`` (host-binned X-map time, may be None)
-        allows the host to mirror it -- the raw X-map value for the
-        projector view, raw coordinates for the camera view.
+        """(yg, sort key, inlier) for host target-sorting: clipped
+        rectified row (the event kernel's banding key), with the exact
+        scatter target as the secondary when ``ts`` (host-binned X-map
+        time, may be None) allows the host to mirror it -- the raw X-map
+        value for the projector view, raw coordinates for the camera
+        view.  ``inlier`` mirrors the device's per-event inlier mask
+        (ops.disparity: rect row in range, disp >= 0, time bin in the
+        X-map) bit-for-bit; None when ts is None.
 
         The key's low bit is the scatter's exact ``ok`` mask (inlier +
         crop-window bounds + disp < PACK -- every term is integer LUT
@@ -541,7 +544,7 @@ class XMapsDepthEngine:
         yr = mapy[yi, xi].astype(np.int32)
         yg = np.clip(yr, 0, xmap_h - 1)
         if ts is None:
-            return yg, yg
+            return yg, yg, None
         xr = self.maps.disp_cam_mapx_i16[yi, xi].astype(np.int32)
         tg = np.clip(ts, 0, xmap_w - 1)
         x_proj = self.x_map_np[yg, tg].astype(np.int32)
@@ -549,14 +552,14 @@ class XMapsDepthEngine:
         # mirrors ops.disparity inlier math: rectified row in-range
         # (padding-lane validity is moot -- only real lanes are sorted),
         # non-negative disparity, time bin in the X-map
-        ok = (
+        inlier = (
             (yr >= 0)
             & (yr < xmap_h - 1)
             & (disp >= 0)
             & (ts >= 0)
             & (ts < xmap_w)
-            & (disp < PACK)
         )
+        ok = inlier & (disp < PACK)
         if self.cfg.camera_perspective:
             # raw-coordinate targets; decoder coords are in-bounds by
             # construction, mirrored anyway for exactness
@@ -585,15 +588,19 @@ class XMapsDepthEngine:
             sec = x_proj.astype(np.int64)
         assert xmap_h <= (1 << 26) and int(sec.max(initial=0)) < (1 << 26)
         key = (yg.astype(np.int64) << 27) | (sec << 1) | ok
-        return yg, key
+        return yg, key, inlier
 
-    def _block_bands(self, yg_sorted: np.ndarray) -> np.ndarray:
+    def _block_bands(
+        self, yg_sorted: np.ndarray, cap: int | None = None
+    ) -> np.ndarray:
         """Exact per-1024-event-block X-map row bounds for the HBM event
-        kernel, padded to capacity with the padding lanes' rectified row
-        (padding events carry (0, 0) coordinates)."""
+        kernel, padded to ``cap`` (default: the engine capacity) with the
+        padding lanes' rectified row (padding events carry (0, 0)
+        coordinates)."""
         from xmaps_tpu.ops.pallas_events import BLOCK
 
-        cap = self.cfg.event_capacity
+        if cap is None:
+            cap = self.cfg.event_capacity
         mapy = self.maps.disp_cam_mapy_i16
         xmap_h = self.x_map_np.shape[0]
         full = np.full(cap, np.clip(int(mapy[0, 0]), 0, xmap_h - 1), np.int32)
@@ -618,11 +625,113 @@ class XMapsDepthEngine:
         plans."""
         from xmaps_tpu.ops.pallas_events import EventGatherHBMPlan
 
-        yg, key = self._host_target_key(events, ts)
+        yg, key, _ = self._host_target_key(events, ts)
         order = np.argsort(key, kind="stable")
         if not isinstance(self.event_plan, EventGatherHBMPlan):
             return order, np.zeros((0, 2), np.int32)
         return order, self._block_bands(yg[order])
+
+    #: static winner-batch capacities (multiples of the event kernel's
+    #: 1024-event BLOCK): one compiled program per rung, smallest rung
+    #: that fits the frame's winner count wins
+    WINNER_LADDER = (4096, 8192, 12288, 16384, 20480, 24576, 28672)
+
+    class WinnerBatch(tuple):
+        """(batch, t_scaled, priority, bands, num_inliers) -- a
+        host-compacted winner batch for depth_frame(presort_unique=True).
+
+        ``batch`` carries ONLY each target pixel's winning event (the
+        host mirrors the scatter's winner resolution exactly:
+        [[tests/test_scatter_runs]] pins host ok == device keep), padded
+        to the smallest WINNER_LADDER rung; ``priority`` carries the
+        winners' ORIGINAL arrival indices so the packed disparity map is
+        bit-identical to the full-batch path's; ``num_inliers`` is the
+        host-mirrored count over the FULL frame (the compacted batch
+        lost the losing inlier lanes)."""
+
+        def __new__(cls, batch, t_scaled, priority, bands, num_inliers):
+            return super().__new__(
+                cls, (batch, t_scaled, priority, bands, num_inliers)
+            )
+
+    def make_winner_batch(self, events: np.ndarray):
+        """Host-compacted winner batch: the scatter-winner lane of every
+        target pixel, nothing else (VERDICT r3 item 3's host winner
+        pre-compaction).
+
+        The host already mirrors the device's per-event integer math
+        bit-for-bit for target sorting (``_host_target_key``); the winner
+        of a run is its last kept lane, so extracting winners is one
+        vectorized boundary test on the sorted keys.  The device then
+        runs the event kernel on ~winner-count lanes and the scatter is a
+        bare unique-indices set (ops.scatter method="set") -- no device
+        sort, no winner detection, ~len/capacity of the scatter work.
+
+        Returns a :class:`WinnerBatch`; requires integer timestamps and
+        no frame filter (same contract as make_sorted_batch).
+        """
+        from xmaps_tpu.io.prefetch import _scale_time_int_host
+        from xmaps_tpu.ops.pallas_events import EventGatherHBMPlan
+
+        if self.cfg.frame_filter != "none":
+            raise ValueError(
+                "winner compaction requires frame_filter == 'none' (the "
+                "dedup filters define their own winners)"
+            )
+        cap = self.cfg.event_capacity
+        n = min(len(events), cap)
+        events = events[:n]
+        if n and not np.issubdtype(events.dtype["t"].type, np.integer):
+            raise ValueError(
+                "make_winner_batch requires integer timestamps (the host "
+                "winner mirror needs the exact integer time binning)"
+            )
+        ts = (
+            _scale_time_int_host(events["t"], self.cfg.t_px_scale)
+            if n
+            else np.zeros(0, np.int64)
+        )
+        yg, key, inlier = self._host_target_key(events, ts)
+        if n == 0:
+            inlier = np.zeros(0, bool)
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        ok_s = (key_s & 1).astype(bool)
+        if n:
+            boundary = np.empty(n, bool)
+            boundary[:-1] = key_s[1:] != key_s[:-1]
+            boundary[-1] = True
+            win = ok_s & boundary
+        else:
+            win = np.zeros(0, bool)
+        widx = order[win]  # winners' arrival indices, in (row, target) order
+        n_win = len(widx)
+
+        w_cap = next(
+            (w for w in self.WINNER_LADDER if w >= n_win and w <= cap),
+            cap,
+        )
+        batch = EventBatch.from_arrays(
+            events["x"][widx],
+            events["y"][widx],
+            events["t"][widx],
+            events["p"][widx],
+            w_cap,
+        )
+        ts_w = np.zeros(w_cap, np.int32)
+        ts_w[:n_win] = ts[widx]
+        prio = np.zeros(w_cap, np.int32)
+        prio[:n_win] = widx
+        bands = None
+        if isinstance(self.event_plan, EventGatherHBMPlan):
+            bands = jnp.asarray(self._block_bands(yg[widx], cap=w_cap))
+        return self.WinnerBatch(
+            batch,
+            jnp.asarray(ts_w),
+            jnp.asarray(prio),
+            bands,
+            int(inlier.sum()),
+        )
 
     def process_frame(self, events: np.ndarray) -> FrameResult:
         """events: structured array with x/y/t/p (one projector frame)."""

@@ -82,6 +82,8 @@ def depth_frame(
     presort_priority=None,
     presort_bands=None,
     presort_runs: bool = False,
+    presort_unique: bool = False,
+    host_num_inliers=None,
     display_only: bool = False,
 ) -> FrameResult:
     """One projector frame of events -> colorized depth map.
@@ -109,6 +111,14 @@ def depth_frame(
     coordinates for the camera view -- make_sorted_batch computes both
     exactly), so same-pixel lanes are contiguous and the scatter skips
     its own device sort too (ops.scatter method="runs", ~23 us less).
+    ``presort_unique`` marks the batch as a host-COMPACTED winner batch
+    (models.depth_pipeline.make_winner_batch): every valid lane targets a
+    distinct pixel and is that pixel's winner, so the event kernel runs
+    on ~winner-count lanes and the scatter is a bare unique-indices set
+    (ops.scatter method="set").  Requires ``host_num_inliers`` (the
+    host-mirrored inlier count -- the compacted batch no longer carries
+    the losing inlier lanes) plus ``t_scaled`` (time bins must come from
+    the FULL frame's bounds, which the compacted batch cannot recover).
     ``display_only`` returns FrameResult with depth and disp_map as None
     -- the reference's per-frame output surface (disp_to_depth.py emits
     only the colorized frame; depth/disparity are intermediates).  The
@@ -147,6 +157,16 @@ def depth_frame(
             "presort_runs requires a host-sorted batch (presort_priority): "
             "run contiguity is a property of the host sort key"
         )
+    if presort_unique:
+        if presort_priority is None or host_num_inliers is None or t_scaled is None:
+            raise ValueError(
+                "presort_unique requires a host-compacted winner batch: "
+                "presort_priority (original arrival indices), "
+                "host_num_inliers (the compacted batch lost the losing "
+                "inlier lanes), and t_scaled (full-frame time bounds)"
+            )
+        if presort_runs:
+            raise ValueError("presort_unique and presort_runs are exclusive")
 
     if use_pallas_events:
         res, (ev_x, ev_y), priority = compute_event_disparity_pallas(
@@ -187,12 +207,19 @@ def depth_frame(
 
     from xmaps_tpu.ops.scatter import PACK
 
+    if host_num_inliers is not None:
+        num_inliers = jnp.asarray(host_num_inliers, jnp.int32)
+    else:
+        num_inliers = jnp.sum(res.inlier).astype(jnp.int32)
+
     # The sort-dedup scatter strategy wins on TPU (unique-indices set
     # parallelizes; duplicate-capable max serializes) -- see ops.scatter.
     # Host target-sorted batches upgrade to "runs" (no device sort at all).
     scatter_method = "sorted" if use_pallas_events else "max"
     run_keys = None
-    if presort_runs:
+    if presort_unique:
+        scatter_method = "set"
+    elif presort_runs:
         scatter_method = "runs"
         if cfg.camera_perspective:
             run_keys = (ev_y, ev_x)
@@ -235,7 +262,7 @@ def depth_frame(
                 frame_bgr=frame,
                 depth=depth,
                 disp_map=disp_map,
-                num_inliers=jnp.sum(res.inlier).astype(jnp.int32),
+                num_inliers=num_inliers,
             )
         disp_map = unpack_disp(
             scatter_disp_packed(
@@ -289,7 +316,7 @@ def depth_frame(
                 frame_bgr=frame,
                 depth=depth,
                 disp_map=disp_map,
-                num_inliers=jnp.sum(res.inlier).astype(jnp.int32),
+                num_inliers=num_inliers,
             )
         disp_rect = unpack_disp(
             scatter_disp_packed(
@@ -315,7 +342,7 @@ def depth_frame(
         frame_bgr=frame,
         depth=None if display_only else depth,
         disp_map=None if display_only else disp_map,
-        num_inliers=jnp.sum(res.inlier).astype(jnp.int32),
+        num_inliers=num_inliers,
     )
 
 

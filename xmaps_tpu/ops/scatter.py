@@ -72,6 +72,10 @@ def scatter_disp_packed(
       load-bearing for determinism: the Pallas event path scatters in
       y-sorted (not arrival) order, so an order-relying duplicate set
       would pick the wrong winner.
+    - "set": the caller guarantees every kept lane targets a DISTINCT
+      pixel and is that pixel's winner (host-compacted winner batches,
+      models.depth_pipeline.make_winner_batch): one bare unique-indices
+      scatter-set over the batch, nothing else.
     - "runs": like "sorted" but WITHOUT the device sort (~26 us at 28k):
       the caller guarantees that lanes targeting the same pixel are
       already CONTIGUOUS (the host sorted the batch by the scatter
@@ -96,6 +100,7 @@ def scatter_disp_packed(
       batch still crowns its last lane.
     """
     n = ys.shape[0]
+    assert method in ("max", "sorted", "runs", "set"), method
     if window is not None:
         # Scatter into a CROP of the logical (height, width) frame: the
         # map covers rows [oy, oy+wh) x cols [ox, ox+ww); targets outside
@@ -140,6 +145,15 @@ def scatter_disp_packed(
     # geometry's 73 MB map -- measured via device trace, round 3).
     lin = jnp.where(ok, ysc * out_w + xsc, out_h * out_w)
     out = jnp.zeros((out_h, out_w), dtype=jnp.uint32)
+    if method == "set":
+        # Host-compacted winner batch (models.depth_pipeline
+        # .make_winner_batch): every kept lane already targets a DISTINCT
+        # pixel and IS that pixel's winner, so this is a bare
+        # unique-indices set -- no device sort, no winner detection.
+        # Masked lanes were routed out of bounds by ``lin`` above.
+        return out.at[lin // out_w, lin % out_w].set(
+            packed, mode="drop", unique_indices=True
+        )
     if method == "runs":
         assert run_keys is not None, "method='runs' requires run_keys"
         ky, kx = run_keys
