@@ -54,7 +54,7 @@ def main():
             os.path.dirname(__file__), "data", "demo_rig", "calibration.yaml"
         )
 
-    n_frames = 40
+    n_frames = int(os.environ.get("XMAPS_BENCH_STREAM_FRAMES", "40"))
     fps = 60
     calib = CalibrationParams.from_yaml(calib_yaml, 640, 480, 720, 1280)
     evs = simulate_sequence(
@@ -107,14 +107,46 @@ def main():
         results.append((n_inl, res))
         del results[:-1]
 
+    host_pre_s: list[float] = []
+
     def replay(mode):
         """mode 'ring' = packet pre-staging (the production streaming
         path: event data crosses the link during frame accumulation, so
         dispatch ships only a (3, K) placement array); 'compact' =
-        segmented staging after the trigger."""
+        segmented staging after the trigger; 'direct' = the ring path
+        WITHOUT any completion fetch (host handover->dispatch time only;
+        device execution time comes from the profiler trace)."""
         from xmaps_tpu.io.prefetch import PacketRing
 
-        if mode == "ring":
+        if mode == "direct":
+            ring = PacketRing(
+                packet_capacity=max(2048, engine.cfg.event_capacity // 4),
+                layout=engine.ring_layout,
+            )
+
+            def on_frame_direct(frame_evs, gs):
+                t0 = time.perf_counter()
+                out = ring.frame_meta(
+                    gs, gs + len(frame_evs), int(frame_evs["t"][0])
+                )
+                assert out is not None, "ring overrun in bench"
+                pkts, meta = out
+                res = engine.process_ring(pkts, meta)
+                # ASYNC: no fetch, no block -- link physics excluded by
+                # construction; the device-side duration is read from the
+                # profiler trace afterwards
+                host_pre_s.append(time.perf_counter() - t0)
+                results.append((0, res))
+                del results[:-1]
+                ring.retire_below(tf.buffer_global_base)
+
+            tf = RobustTriggerFinder(
+                projector_fps=fps,
+                stats=StatsPrinter(silent=True),
+                frame_callback=lambda evs: None,
+                frame_callback_indexed=on_frame_direct,
+            )
+        elif mode == "ring":
             ring = PacketRing(
                 packet_capacity=max(2048, engine.cfg.event_capacity // 4),
                 layout=engine.ring_layout,
@@ -180,6 +212,65 @@ def main():
     replay("compact")
     lat_compact = list(lat_s)
     lat_s = lat_ring
+
+    # --- DIRECT framework latency: link physics excluded by
+    # construction, not by baseline subtraction.  Host side: trigger
+    # handover -> (staging meta + async dispatch) returns, nothing
+    # fetched.  Device side: the frame program's own execution duration,
+    # read from a jax.profiler device trace of the same replay.  Their
+    # sum is what a co-located host would observe (its dispatch-to-start
+    # and data-dependency gaps are ~us at these sizes).
+    import glob
+    import gzip
+    import shutil
+
+    trace_dir = "/tmp/xmaps_stream_trace"
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    host_pre_s.clear()
+    with jax.profiler.trace(trace_dir):
+        replay("direct")
+        if results:
+            jax.block_until_ready(results[-1][1])
+    host_pre = np.asarray(host_pre_s) * 1e3
+
+    dev_durs_ms = []
+    paths = glob.glob(
+        os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True
+    )
+    if paths:
+        with gzip.open(paths[0], "rt") as f:
+            trace = json.load(f)
+        pid_names = {}
+        for ev in trace.get("traceEvents", []):
+            if ev.get("ph") == "M" and ev.get("name") == "process_name":
+                pid_names[ev["pid"]] = ev.get("args", {}).get("name", "")
+        device_pids = {
+            p for p, n in pid_names.items()
+            if "TPU" in n or "/device" in n.lower()
+        }
+        # module-level executions of the ring frame program (one per
+        # dispatched frame)
+        for ev in trace.get("traceEvents", []):
+            if ev.get("ph") != "X":
+                continue
+            if device_pids and ev.get("pid") not in device_pids:
+                continue
+            if "ring_frame" in ev.get("name", ""):
+                dev_durs_ms.append(ev.get("dur", 0.0) / 1e3)
+    # keep only module-level rows (per-op children share the name filter
+    # only if nested modules repeat it; dedupe by taking the largest
+    # len(host_pre) durations, one per dispatch)
+    dev_durs_ms.sort(reverse=True)
+    dev_durs_ms = dev_durs_ms[: max(len(host_pre), 1)]
+    p50_host_pre = float(np.percentile(host_pre, 50)) if len(host_pre) else None
+    p50_dev = (
+        float(np.percentile(dev_durs_ms, 50)) if dev_durs_ms else None
+    )
+    p50_direct = (
+        round(p50_host_pre + p50_dev, 3)
+        if p50_host_pre is not None and p50_dev is not None
+        else None
+    )
 
     # Tunnel round-trip baseline a PCIe-attached host would not pay:
     # dispatch + 4-byte fetch of a trivial program.
@@ -284,6 +375,17 @@ def main():
         "vs_baseline": round(2.67 / max(p50, 1e-6), 2),
         "extra": {
             "p95_ms": round(p95, 3),
+            # DIRECT framework latency (no baseline subtraction): host
+            # trigger-handover->dispatch + the frame program's device
+            # execution duration from the profiler trace; no fetch, no
+            # RTT anywhere in either term
+            "p50_framework_direct_ms": p50_direct,
+            "p50_host_handover_to_dispatch_ms": (
+                round(p50_host_pre, 3) if p50_host_pre is not None else None
+            ),
+            "p50_device_program_ms": (
+                round(p50_dev, 3) if p50_dev is not None else None
+            ),
             "p50_ms_rtt_adjusted": round(p50 - rtt_p50_ms, 3),
             "p50_framework_ms": round(p50 - dispatch_p50_ms, 3),
             "p50_framework_contention_adjusted_ms": round(
