@@ -236,3 +236,51 @@ def test_display_only_matches_full(rig):
                 np.asarray(slim.frame_bgr), np.asarray(full.frame_bgr)
             )
             assert int(slim.num_inliers) == int(full.num_inliers)
+
+
+def test_display_packed_matches_planes(rig):
+    """display_packed must emit one (H, W) u32 packed-BGR plane whose
+    host-side view equals the 3-channel display frame byte-for-byte,
+    across both views and both tail implementations (Pallas interpret +
+    XLA fallback)."""
+    calib, maps, x_map, cfg, tables = rig
+    from xmaps_tpu.ops.pallas_tail import build_cam_tail_plan, build_tail_plan
+
+    events = simulate_plane_events(calib, depth_m=0.6, jitter_us=2.0)
+    batch = EventBatch.from_structured(events, cfg.event_capacity)
+    proj_plan = build_tail_plan(
+        maps.disp_proj_mapx_i16, maps.disp_proj_mapy_i16,
+        calib.rect_image_height, calib.rect_image_width,
+        p03=float(maps.P2[0, 3]), z_near=cfg.z_near, z_far=cfg.z_far,
+    )
+    cam_plan = build_cam_tail_plan(
+        calib.camera_height, calib.camera_width,
+        p03=float(maps.P2[0, 3]), z_near=cfg.z_near, z_far=cfg.z_far,
+    )
+    for cam_view, plan in ((False, proj_plan), (True, cam_plan)):
+        c = cfg.replace(camera_perspective=cam_view)
+        for tail in (None, plan):
+            ref = depth_frame(
+                batch, tables, c, tail_plan=tail, pallas_interpret=True,
+                display_only=True,
+            )
+            packed = depth_frame(
+                batch, tables, c, tail_plan=tail, pallas_interpret=True,
+                display_only=True, display_packed=True,
+            )
+            arr = np.asarray(packed.frame_bgr)
+            assert arr.dtype == np.uint32 and arr.ndim == 2
+            h, w = arr.shape
+            unpacked = arr.view(np.uint8).reshape(h, w, 4)[..., :3]
+            np.testing.assert_array_equal(
+                unpacked, np.asarray(ref.frame_bgr)
+            )
+            assert int(packed.num_inliers) == int(ref.num_inliers)
+
+
+def test_display_packed_requires_display_only(rig):
+    calib, maps, x_map, cfg, tables = rig
+    events = simulate_plane_events(calib, depth_m=0.6)
+    batch = EventBatch.from_structured(events, cfg.event_capacity)
+    with pytest.raises(ValueError, match="display_packed"):
+        depth_frame(batch, tables, cfg, display_packed=True)

@@ -8,6 +8,15 @@ from xmaps_tpu.io.evt_decoder import EVENT_DTYPE
 from xmaps_tpu.io.prefetch import HostStagingPool, unpack_staged
 from xmaps_tpu.ops.event_batch import EventBatch
 
+def _unpack_bgrx(frame):
+    """Host view of the packed u32 display plane as (H, W, 3) u8."""
+    arr = np.asarray(frame)
+    if arr.dtype == np.uint32:
+        h, w = arr.shape
+        return arr.view(np.uint8).reshape(h, w, 4)[..., :3]
+    return arr
+
+
 
 def _events(rng, n, t0=1_000_000):
     ev = np.zeros(n, dtype=EVENT_DTYPE)
@@ -120,7 +129,7 @@ def test_compact_stage_matches_two_word_path():
         assert got.depth is None and got.disp_map is None
         for ref in (via2, want):
             np.testing.assert_array_equal(
-                np.asarray(got.frame_bgr), np.asarray(ref.frame_bgr)
+                _unpack_bgrx(got.frame_bgr), _unpack_bgrx(ref.frame_bgr)
             )
             assert int(got.num_inliers) == int(ref.num_inliers)
 
@@ -163,7 +172,7 @@ def test_staged_frame_path_runs():
         want = engine.process_batch_device(engine.make_batch(ev))
         assert got.depth is None  # staged programs are display-only
         np.testing.assert_array_equal(
-            np.asarray(got.frame_bgr), np.asarray(want.frame_bgr)
+            _unpack_bgrx(got.frame_bgr), np.asarray(want.frame_bgr)
         )
         assert int(got.num_inliers) == int(want.num_inliers)
 

@@ -98,6 +98,7 @@ class XMapsDepthEngine:
                 tail_plan=self.tail_plan,
                 event_plan=self.event_plan,
                 display_only=True,
+                display_packed=True,
             )
 
         self._staged_fn = jax.jit(functools.partial(staged_frame, cfg=self.cfg))
@@ -111,6 +112,7 @@ class XMapsDepthEngine:
                 tail_plan=self.tail_plan,
                 event_plan=self.event_plan,
                 display_only=True,
+                display_packed=True,
             )
 
         self._ring_fn = jax.jit(functools.partial(ring_frame, cfg=self.cfg))
@@ -136,6 +138,7 @@ class XMapsDepthEngine:
                     tail_plan=self.tail_plan,
                     event_plan=self.event_plan,
                     display_only=True,
+                    display_packed=True,
                 )
 
             self._ring_compact_fn = jax.jit(
@@ -176,6 +179,7 @@ class XMapsDepthEngine:
                     event_plan=self.event_plan,
                     t_scaled=ts,
                     display_only=True,
+                    display_packed=True,
                     **kw,
                 )
 

@@ -85,6 +85,7 @@ def depth_frame(
     presort_unique: bool = False,
     host_num_inliers=None,
     display_only: bool = False,
+    display_packed: bool = False,
 ) -> FrameResult:
     """One projector frame of events -> colorized depth map.
 
@@ -124,6 +125,11 @@ def depth_frame(
     only the colorized frame; depth/disparity are intermediates).  The
     fused kernels then skip two full-resolution f32 output stores, and
     the XLA paths dead-code-eliminate the unused math.
+    ``display_packed`` (requires display_only) emits frame_bgr as ONE
+    (H, W) uint32 packed-BGR plane (B | G<<8 | R<<16) instead of
+    (H, W, 3) u8: the device-side channel split + 3-plane interleave
+    disappear entirely; unpack on the host with
+    ``arr.view(np.uint8).reshape(H, W, 4)[..., :3]`` at display rate.
     """
     from xmaps_tpu.ops.disparity import (
         compute_event_disparity_pallas,
@@ -167,6 +173,11 @@ def depth_frame(
             )
         if presort_runs:
             raise ValueError("presort_unique and presort_runs are exclusive")
+    if display_packed and not display_only:
+        raise ValueError(
+            "display_packed emits only the packed colorized plane; it "
+            "requires display_only"
+        )
 
     if use_pallas_events:
         res, (ev_x, ev_y), priority = compute_event_disparity_pallas(
@@ -257,6 +268,7 @@ def depth_frame(
                 interpret=pallas_interpret,
                 pack=PACK,
                 emit_aux=not display_only,
+                packed_bgr=display_packed,
             )
             return FrameResult(
                 frame_bgr=frame,
@@ -311,6 +323,7 @@ def depth_frame(
                 interpret=pallas_interpret,
                 pack=PACK,
                 emit_aux=not display_only,
+                packed_bgr=display_packed,
             )
             return FrameResult(
                 frame_bgr=frame,
@@ -337,7 +350,12 @@ def depth_frame(
 
     depth = disparity_to_depth(disp_for_depth, tables.p03)
     norm_u8 = clip_normalize_u8(depth, cfg.z_near, cfg.z_far)
-    frame = colorize_turbo(norm_u8)
+    if display_packed:
+        from xmaps_tpu.ops.image_tail import colorize_turbo_packed
+
+        frame = colorize_turbo_packed(norm_u8)
+    else:
+        frame = colorize_turbo(norm_u8)
     return FrameResult(
         frame_bgr=frame,
         depth=None if display_only else depth,

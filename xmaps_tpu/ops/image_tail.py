@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from xmaps_tpu.utils.colormap import TURBO_BGR_U8
 
@@ -103,3 +104,14 @@ def colorize_turbo(norm_u8: jax.Array) -> jax.Array:
     rgb = lut[norm_u8.astype(jnp.int32)]
     white = jnp.full_like(rgb, 255)
     return jnp.where((norm_u8 == 0)[..., None], white, rgb)
+
+
+def colorize_turbo_packed(norm_u8: jax.Array) -> jax.Array:
+    """TURBO colormap as ONE u32 packed-BGR word per pixel
+    (B | G<<8 | R<<16, entry 0 pre-whitened): the XLA twin of the Pallas
+    packed-BGR display output -- one gather, no channel planes, no
+    interleave.  Host unpacks with a numpy view at display rate."""
+    v = TURBO_BGR_U8.astype(np.uint32)
+    packed = v[:, 0] | (v[:, 1] << 8) | (v[:, 2] << 16)
+    packed[0] = 0xFFFFFF  # undefined pixels render white
+    return jnp.asarray(packed)[norm_u8.astype(jnp.int32)]

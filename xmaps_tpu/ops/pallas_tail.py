@@ -413,6 +413,36 @@ def _tail_kernel_display(
     )
 
 
+def _tail_kernel_display_packed(
+    row0_ref,
+    col0_ref,
+    qenc_ref,
+    x_abs_ref,
+    lut_ref,
+    disp_ref,
+    yh_a_hbm,
+    yh_b_hbm,
+    bgrx_ref,
+    band,
+    yh_a,
+    yh_b,
+    dil,
+    sems,
+    *,
+    plan: TailPlan,
+    pack: int = 0,
+):
+    """Display-only variant emitting ONE u32 packed-BGR plane (the word
+    the colorize LUT already produces): kills the channel split in-kernel
+    AND the downstream 3-plane interleave; the host unpacks with a free
+    numpy view at display rate."""
+    _tail_core(
+        row0_ref, col0_ref, qenc_ref, x_abs_ref, lut_ref, disp_ref,
+        yh_a_hbm, yh_b_hbm, None, None, bgrx_ref, None,
+        None, band, yh_a, yh_b, dil, sems, plan=plan, pack=pack,
+    )
+
+
 def _tail_core(
     row0_ref,
     col0_ref,
@@ -595,12 +625,20 @@ def _tail_core(
     val = jnp.where(depth == 0.0, 0.0, val)
     u8 = jnp.clip(val, 0.0, 255.0).astype(jnp.int32)  # C truncation
 
-    _colorize_packed(lut_ref, u8, TH, b_ref, g_ref, r_ref)
+    if g_ref is None:
+        _colorize_packed(lut_ref, u8, TH, b_ref)  # u32 packed-BGR plane
+    else:
+        _colorize_packed(lut_ref, u8, TH, b_ref, g_ref, r_ref)
 
 
-def _colorize_packed(lut_ref, u8, tile_h, b_ref, g_ref, r_ref):
+def _colorize_packed(lut_ref, u8, tile_h, *out_refs):
     """Packed-BGR LUT application: one gather chain for all channels (see
-    _make_lut; entry 0 is pre-whitened, so no white select)."""
+    _make_lut; entry 0 is pre-whitened, so no white select).
+
+    ``out_refs``: (b, g, r) u8 planes, or a single u32 ref that takes the
+    packed word directly (B | G<<8 | R<<16; the host unpacks at display
+    rate -- kills the device-side channel split + interleave entirely).
+    """
     lut = lut_ref[:]  # (8, 256) i32 packed BGR, two 128-lane halves
     tab_lo = lut[:, :128]
     tab_hi = lut[:, 128:256]
@@ -612,6 +650,10 @@ def _colorize_packed(lut_ref, u8, tile_h, b_ref, g_ref, r_ref):
         hi_v = jnp.take_along_axis(tab_hi, idx, axis=1)
         rows.append(jnp.where(hi, hi_v, lo_v))
     bgr = jnp.concatenate(rows, axis=0)
+    if len(out_refs) == 1:
+        out_refs[0][:] = bgr.astype(jnp.uint32)
+        return
+    b_ref, g_ref, r_ref = out_refs
     b_ref[:] = (bgr & 255).astype(jnp.uint8)
     g_ref[:] = ((bgr >> 8) & 255).astype(jnp.uint8)
     r_ref[:] = (bgr >> 16).astype(jnp.uint8)
@@ -680,6 +722,20 @@ def _colorize_kernel_display(
     )
 
 
+def _colorize_kernel_display_packed(
+    lut_ref,
+    map_ref,
+    bgrx_ref,
+    *,
+    plan: CamTailPlan,
+    pack: int,
+):
+    _colorize_core(
+        lut_ref, map_ref, None, None, bgrx_ref, None, None,
+        plan=plan, pack=pack,
+    )
+
+
 def _colorize_core(
     lut_ref,
     map_ref,
@@ -715,7 +771,10 @@ def _colorize_core(
     val = jnp.where(depth == 0.0, 0.0, val)
     u8 = jnp.clip(val, 0.0, 255.0).astype(jnp.int32)
 
-    _colorize_packed(lut_ref, u8, 32, b_ref, g_ref, r_ref)
+    if g_ref is None:
+        _colorize_packed(lut_ref, u8, 32, b_ref)  # u32 packed-BGR plane
+    else:
+        _colorize_packed(lut_ref, u8, 32, b_ref, g_ref, r_ref)
 
 
 def pallas_colorize(
@@ -724,24 +783,35 @@ def pallas_colorize(
     interpret: bool = False,
     pack: int = 0,
     emit_aux: bool = True,
+    packed_bgr: bool = False,
 ):
     """Camera-view tail: (H_pad, W_pad) packed (or f32) disparity map ->
     (frame_bgr (H, W, 3) u8, depth (H, W) f32, disp (H, W) f32) in one
     tile pass.  Replaces the XLA depth/normalize/colorize chain whose
     TURBO gather costs ~10 ns/px on TPU.  ``emit_aux=False`` returns
     (frame, None, None) and skips the two f32 output stores (the
-    streaming display regime)."""
+    streaming display regime).  ``packed_bgr`` (display-only) returns the
+    frame as ONE (H, W) u32 packed-BGR plane (B | G<<8 | R<<16) -- no
+    channel split, no interleave; the host unpacks with a numpy view at
+    display rate."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     assert disp_map.shape == (plan.H_pad, plan.W_pad)
+    assert not (packed_bgr and emit_aux), "packed_bgr is display-only"
     grid = (plan.H_pad // 32, plan.W_pad // 128)
     tile = pl.BlockSpec((32, 128), lambda i, j: (i, j), memory_space=pltpu.VMEM)
     f32_plane = jax.ShapeDtypeStruct((plan.H_pad, plan.W_pad), jnp.float32)
     u8_plane = jax.ShapeDtypeStruct((plan.H_pad, plan.W_pad), jnp.uint8)
+    u32_plane = jax.ShapeDtypeStruct((plan.H_pad, plan.W_pad), jnp.uint32)
     if emit_aux:
         kernel = functools.partial(_colorize_kernel, plan=plan, pack=pack)
         out_shapes = [f32_plane, f32_plane, u8_plane, u8_plane, u8_plane]
+    elif packed_bgr:
+        kernel = functools.partial(
+            _colorize_kernel_display_packed, plan=plan, pack=pack
+        )
+        out_shapes = [u32_plane]
     else:
         kernel = functools.partial(
             _colorize_kernel_display, plan=plan, pack=pack
@@ -760,6 +830,8 @@ def pallas_colorize(
         disp_out, depth, b, g, r = outs
         frame = jnp.stack([b[:H, :W], g[:H, :W], r[:H, :W]], axis=-1)
         return frame, depth[:H, :W], disp_out[:H, :W]
+    if packed_bgr:
+        return outs[0][:H, :W], None, None
     b, g, r = outs
     frame = jnp.stack([b[:H, :W], g[:H, :W], r[:H, :W]], axis=-1)
     return frame, None, None
@@ -785,6 +857,7 @@ def pallas_tail(
     interpret: bool = False,
     pack: int = 0,
     emit_aux: bool = True,
+    packed_bgr: bool = False,
 ):
     """disp_rect -> (frame_bgr (Hp, Wp, 3) u8, depth (Hp, Wp) f32, disp_proj
     (Hp, Wp) f32).
@@ -798,9 +871,15 @@ def pallas_tail(
     ``emit_aux=False`` selects the display-only kernel variant: depth and
     disparity come back as None and their two full-resolution f32 output
     stores (plus downstream layout copies) are skipped -- the streaming
-    path's regime, matching the reference's per-frame output surface."""
+    path's regime, matching the reference's per-frame output surface.
+    ``packed_bgr`` (display-only) returns the frame as ONE (Hp, Wp) u32
+    packed-BGR plane instead of (Hp, Wp, 3) u8: the in-kernel channel
+    split AND the downstream 3-plane interleave stack disappear; the
+    host unpacks with a free numpy view at display rate."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    assert not (packed_bgr and emit_aux), "packed_bgr is display-only"
 
     if pack:
         assert disp_rect.shape == (plan.H_pad, plan.W_pad)
@@ -842,7 +921,7 @@ def pallas_tail(
                 memory_space=pltpu.VMEM,
             )
         ]
-        * (5 if emit_aux else 3),
+        * (5 if emit_aux else (1 if packed_bgr else 3)),
         scratch_shapes=[
             pltpu.VMEM((2, plan.RB, plan.CB), band_dtype),
             pltpu.VMEM((2, plan.TH, plan.CB), jnp.int16),
@@ -857,6 +936,11 @@ def pallas_tail(
     if emit_aux:
         kernel = functools.partial(_tail_kernel, plan=plan, pack=pack)
         out_shapes = [f32_plane, f32_plane, u8_plane, u8_plane, u8_plane]
+    elif packed_bgr:
+        kernel = functools.partial(
+            _tail_kernel_display_packed, plan=plan, pack=pack
+        )
+        out_shapes = [jax.ShapeDtypeStruct((plan.Hp, plan.Wp), jnp.uint32)]
     else:
         kernel = functools.partial(
             _tail_kernel_display, plan=plan, pack=pack
@@ -879,6 +963,8 @@ def pallas_tail(
     )
     if emit_aux:
         disp_out, depth, b, g, r = outs
+    elif packed_bgr:
+        return outs[0], None, None
     else:
         disp_out = depth = None
         b, g, r = outs

@@ -222,6 +222,14 @@ class DepthReprojectionPipe:
             return
         with self.stats_printer.measure_time("fetch frame"):
             frame = np.asarray(jax.device_get(self._pending.frame_bgr))
+            if frame.dtype == np.uint32:
+                # packed-BGR display plane (frame_pipeline display_packed):
+                # the device skips the channel split + interleave; this
+                # host-side view + copy runs at display rate only
+                h, w = frame.shape
+                frame = np.ascontiguousarray(
+                    frame.view(np.uint8).reshape(h, w, 4)[..., :3]
+                )
             self.stats_printer.add_metric(
                 "frame inliers", int(self._pending.num_inliers)
             )
