@@ -162,7 +162,7 @@ def main():
     fn = jax.jit(
         lambda b, prio, bands: depth_frame(
             b, tables, cfg, tail_plan=tp, event_plan=ep,
-            presort_priority=prio, presort_bands=bands, display_only=True,
+            presort_priority=prio, presort_bands=bands, display_only=True, display_packed=True,
         )
     )
 
@@ -202,7 +202,7 @@ def main():
                 presort_priority=prio,
                 presort_bands=bands,
                 presort_runs=prio is not None,
-                display_only=True,
+                display_only=True, display_packed=True,
             )
             for b, prio, bands in bs
         ]

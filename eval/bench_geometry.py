@@ -156,7 +156,7 @@ def main(argv=None):
                     b, tables, cfg, tail_plan=tp, event_plan=ep,
                     t_scaled=ts, presort_priority=prio, presort_bands=bands,
                     presort_unique=True, host_num_inliers=n_inl,
-                    display_only=True,
+                    display_only=True, display_packed=True,
                 )
                 for b, ts, prio, bands, n_inl in bs
             ]
@@ -170,7 +170,7 @@ def main(argv=None):
                     b, tables, cfg, tail_plan=tp, event_plan=ep,
                     presort_priority=prio, presort_bands=bands,
                     presort_runs=prio is not None,
-                    display_only=True,
+                    display_only=True, display_packed=True,
                 )
                 for b, prio, bands in bs
             ]
