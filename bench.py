@@ -144,7 +144,10 @@ def main():
             rng=rng,
         )
         frames.append(engine.make_sorted_batch(ev))
-    frames = [jax.device_put(bp, dev) for bp in frames]
+    # SortedBatch carries the host-side runs_ok flag; capture it before
+    # device_put (which wants a plain pytree, not the tuple subclass).
+    runs_ok = all(bp.runs_ok for bp in frames)
+    frames = [jax.device_put(tuple(bp), dev) for bp in frames]
     n_events = int(np.mean([int(b.count) for b, _, _ in frames]))
 
     from xmaps_tpu.ops.frame_pipeline import depth_frame
@@ -201,7 +204,7 @@ def main():
                 event_plan=ep,
                 presort_priority=prio,
                 presort_bands=bands,
-                presort_runs=prio is not None,
+                presort_runs=runs_ok and prio is not None,
                 display_only=True, display_packed=True,
             )
             for b, prio, bands in bs

@@ -79,7 +79,8 @@ def main():
             ))
             ev = ev[keep]
         frames.append(engine.make_sorted_batch(ev))
-    frames = [jax.device_put(b, dev) for b in frames]
+    runs_ok = all(b.runs_ok for b in frames)
+    frames = [jax.device_put(tuple(b), dev) for b in frames]
     disp_only = bool(args.display_only)
 
     @jax.jit
@@ -88,7 +89,7 @@ def main():
             depth_frame(
                 b, tables, cfg, tail_plan=tp, event_plan=ep,
                 presort_priority=prio, presort_bands=bands,
-                presort_runs=prio is not None,
+                presort_runs=runs_ok and prio is not None,
                 display_only=disp_only,
             )
             for b, prio, bands in bs

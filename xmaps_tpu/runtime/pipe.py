@@ -226,9 +226,14 @@ class DepthReprojectionPipe:
                 # packed-BGR display plane (frame_pipeline display_packed):
                 # the device skips the channel split + interleave; this
                 # host-side view + copy runs at display rate only
+                # device_get through the TPU tunnel can hand back a
+                # non-contiguous array (padded device layout); the u32
+                # view needs a contiguous last axis
                 h, w = frame.shape
                 frame = np.ascontiguousarray(
-                    frame.view(np.uint8).reshape(h, w, 4)[..., :3]
+                    np.ascontiguousarray(frame)
+                    .view(np.uint8)
+                    .reshape(h, w, 4)[..., :3]
                 )
             self.stats_printer.add_metric(
                 "frame inliers", int(self._pending.num_inliers)
