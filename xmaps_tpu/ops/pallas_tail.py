@@ -428,12 +428,10 @@ def _tail_kernel_display_packed(
     x_abs_ref,
     lut_ref,
     disp_ref,
-    yh_a_hbm,
-    yh_b_hbm,
+    yh_hbm,
     bgrx_ref,
     band,
-    yh_a,
-    yh_b,
+    yh,
     dil,
     sems,
     *,
@@ -443,11 +441,12 @@ def _tail_kernel_display_packed(
     """Display-only variant emitting ONE u32 packed-BGR plane (the word
     the colorize LUT already produces): kills the channel split in-kernel
     AND the downstream 3-plane interleave; the host unpacks with a free
-    numpy view at display rate."""
+    numpy view at display rate.  (b_ref carries the u32 ref; g_ref=None
+    selects the packed colorize path in _tail_core.)"""
     _tail_core(
         row0_ref, col0_ref, qenc_ref, x_abs_ref, lut_ref, disp_ref,
-        yh_a_hbm, yh_b_hbm, None, None, bgrx_ref, None,
-        None, band, yh_a, yh_b, dil, sems, plan=plan, pack=pack,
+        yh_hbm, None, None, bgrx_ref, None,
+        None, band, yh, dil, sems, plan=plan, pack=pack,
     )
 
 
