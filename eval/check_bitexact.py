@@ -110,6 +110,29 @@ def main(argv=None):
                 def run_plain(b):
                     return depth_frame(b, plain.tables, plain.cfg)
 
+                @jax.jit
+                def run_packed(b, prio, bands):
+                    return depth_frame(
+                        b, fused.tables, fused.cfg,
+                        tail_plan=fused.tail_plan,
+                        event_plan=fused.event_plan,
+                        presort_priority=prio, presort_bands=bands,
+                        presort_runs=True,
+                        display_only=True, display_packed=True,
+                    )
+
+                @jax.jit
+                def run_winners(b, ts, prio, bands, n_inl):
+                    return depth_frame(
+                        b, fused.tables, fused.cfg,
+                        tail_plan=fused.tail_plan,
+                        event_plan=fused.event_plan,
+                        t_scaled=ts,
+                        presort_priority=prio, presort_bands=bands,
+                        presort_unique=True, host_num_inliers=n_inl,
+                        display_only=True, display_packed=True,
+                    )
+
                 got = jax.block_until_ready(run_fused(b, prio, bands))
                 ref = jax.block_until_ready(
                     run_plain(
@@ -128,9 +151,42 @@ def main(argv=None):
                     print(f"MISMATCH {geom} persp={persp} "
                           f"depth={depth_m} num_inliers "
                           f"{int(got.num_inliers)} != {int(ref.num_inliers)}")
+                # packed-BGR display surface: the streaming programs'
+                # per-frame output (one u32 plane; host view-unpacks)
+                pk = jax.block_until_ready(run_packed(b, prio, bands))
+                arr = np.ascontiguousarray(np.asarray(pk.frame_bgr))
+                h, w = arr.shape
+                unpacked = arr.view(np.uint8).reshape(h, w, 4)[..., :3]
+                if not np.array_equal(unpacked, np.asarray(ref.frame_bgr)):
+                    ok = False
+                    print(f"MISMATCH {geom} persp={persp} depth={depth_m} "
+                          f"field=frame_bgr (packed display)")
+                if int(pk.num_inliers) != int(ref.num_inliers):
+                    ok = False
+                    print(f"MISMATCH {geom} persp={persp} depth={depth_m} "
+                          f"num_inliers (packed display)")
+
+                # host winner pre-compaction: event kernel + scatter on
+                # ~winner-count lanes (make_winner_batch, presort_unique)
+                wb = fused.make_winner_batch(ev)
+                wn = jax.block_until_ready(run_winners(*tuple(wb)))
+                arr = np.ascontiguousarray(np.asarray(wn.frame_bgr))
+                h, w = arr.shape
+                unpacked = arr.view(np.uint8).reshape(h, w, 4)[..., :3]
+                if not np.array_equal(unpacked, np.asarray(ref.frame_bgr)):
+                    ok = False
+                    print(f"MISMATCH {geom} persp={persp} depth={depth_m} "
+                          f"field=frame_bgr (winner compaction)")
+                if int(wn.num_inliers) != int(ref.num_inliers):
+                    ok = False
+                    print(f"MISMATCH {geom} persp={persp} depth={depth_m} "
+                          f"num_inliers (winner compaction) "
+                          f"{int(wn.num_inliers)} != {int(ref.num_inliers)}")
+
                 if ok:
                     print(f"OK {geom} persp={persp} depth={depth_m} "
-                          f"inliers={int(ref.num_inliers)}")
+                          f"inliers={int(ref.num_inliers)} "
+                          f"(+packed +winners)")
                 else:
                     failures += 1
     if failures:

@@ -165,8 +165,10 @@ def test_plan_stripe_window_invariants(rig):
                             continue
                         c = int(cols[s, l])
                         assert 0 <= c < plan.CB
-                        tab = plan.yh_b if slot_b[s, l] else plan.yh_a
-                        hq = int(tab[st_rows, :][s, c])
+                        packed = int(
+                            plan.yh.view(np.uint16)[st_rows, :][s, c]
+                        )
+                        hq = (packed >> 8) if slot_b[s, l] else (packed & 255)
                         assert 0 <= hq < plan.QHS * 8, (t, q, s, l, hq)
 
 

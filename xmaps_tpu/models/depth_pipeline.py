@@ -355,7 +355,7 @@ class XMapsDepthEngine:
             h.update(np.ascontiguousarray(maps.disp_proj_mapy_i16).tobytes())
             h.update(
                 f"{calib.rect_image_height}|{calib.rect_image_width}|"
-                f"{float(maps.P2[0, 3])}|{z_near}|{z_far}|{tail_tile}|v6"
+                f"{float(maps.P2[0, 3])}|{z_near}|{z_far}|{tail_tile}|v7"
                 .encode()
             )
             key = h.hexdigest()[:24]

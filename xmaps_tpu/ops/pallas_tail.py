@@ -26,18 +26,20 @@ maps instead:
       where yhat places, for every output row, the needed source row at
       every source column it reads (scattered at init, gap-filled with
       the nearest used column).  The yhat tables ship as PER-TILE STRIPES
-      (n_tiles*TH, CB) i16 whose values are pre-biased by the band start
-      and the sub-block's window base on the host, so the kernel's index
-      math is just ``ia = v & 7; hs = v >> 3`` feeding two Mosaic sublane
-      dynamic_gathers ((8, 128) table/index) and one select;
+      (n_tiles*TH, CB) i16 with both slots BYTE-PACKED into one word
+      (low byte last-writer, high byte first-writer), values pre-biased
+      by the band start and the sub-block's window base on the host, so
+      the kernel's index math is just ``ia = v & 7; hs = v >> 3`` per
+      byte feeding two Mosaic sublane dynamic_gathers ((8, 128)
+      table/index) and one select, and ONE stripe DMA serves both slots;
   (b) column gather: out[s, l] = aligned[s, X(i0+s, j) - col0], as lane
       dynamic_gathers with select-over-128-column-groups.
   Step (b) evaluates yhat exactly at the scattered positions, so the
   composition equals dilated[Y(i,j), X(i,j)] bit-for-bit.  Two output
   pixels can share a rect column with different source rows at i16
-  rounding boundaries (~0.7% of pixels); a second stripe table serves
-  those through the same machinery, selected per pixel by a bit in the
-  column table.
+  rounding boundaries (~0.7% of pixels); the stripe word's high byte
+  serves those through the same machinery, selected per pixel by a bit
+  in the column table.
 - depth = P[0,3]/disp, u8 normalization (C-truncation) and the TURBO
   colormap fuse into the same tile pass.  The colormap is a packed-BGR
   LUT (B | G<<8 | R<<16, 256 entries as two 128-lane halves) with entry
@@ -118,13 +120,16 @@ class TailPlan:
     #: slot (two output pixels can share a rect column with different
     #: source rows at i16 rounding boundaries); -1 if out of bounds
     x_abs: np.ndarray
-    #: (GR*GC*TH, CB) i16 pre-biased source-row stripes (last-writer slot):
-    #: value = yhat - row0[tile] - window_base[tile, sub-block], so the
-    #: kernel indexes its QHS*8-row window directly (ia = v & 7,
-    #: hs = v >> 3); gap/unserved columns carry out-of-window values and
-    #: are never selected
-    yh_a: np.ndarray
-    yh_b: np.ndarray  # same, first-writer slot (collision pixels)
+    #: (GR*GC*TH, CB) i16 pre-biased source-row stripes, BYTE-PACKED:
+    #: low byte = last-writer slot, high byte = first-writer slot
+    #: (collision pixels).  Each byte is yhat - row0[tile] - window_base
+    #: [tile, sub-block] when that lands in the sub-block's QHS*8-row
+    #: window (so the kernel indexes the window directly: ia = v & 7,
+    #: hs = v >> 3), else the 255 sentinel (hs = 31 matches no group;
+    #: gap/unserved columns are never selected).  One i16 table instead
+    #: of two halves the stripe DMA traffic -- the tail pass's largest
+    #: HBM read after the scatter band.
+    yh: np.ndarray
 
     p03: float
     z_near: float
@@ -212,10 +217,10 @@ def build_tail_plan(
         col0q = (np.maximum(xmin, 0) // 128) * 128
         RB = _round_up(int((ymax - row0q).max()) + 1, 8)
         CB = _round_up(int((xmax - col0q).max()) + 1, 128)
-        # scratch budget: 2 band slots + 2-phase dilated band + 4 yhat
-        # stripe slots (i16) + output tiles; leave the rest to Mosaic
+        # scratch budget: 2 band slots + 2-phase dilated band + 2 packed
+        # yhat stripe slots (i16) + output tiles; leave the rest to Mosaic
         vmem_est = (
-            4 * RB * CB * 4 + 4 * TH * CB * 2 + 7 * TH * TW * 4
+            4 * RB * CB * 4 + 2 * TH * CB * 2 + 7 * TH * TW * 4
         )
         if vmem_est <= 8 * 2**20:
             break
@@ -296,9 +301,15 @@ def build_tail_plan(
     # a base down only widens the covered span upward, so coverage holds
     base4 = np.minimum(base4, max(RB - QHS * 8, 0))
 
+    assert QHS * 8 < 255, "byte-packed stripes need window indices < 255"
+
+    def _stripe_byte(v: np.ndarray) -> np.ndarray:
+        """Window-relative source row as a byte; 255 = out-of-window
+        sentinel (hs = 31, selected by no group)."""
+        return np.where((v >= 0) & (v < QHS * 8), v, 255).astype(np.uint16)
+
     qenc = np.zeros((n_tiles * nq,), np.int32)
-    yh_a = np.full((n_tiles * TH, CB), -(2**14), dtype=np.int16)
-    yh_b = np.full((n_tiles * TH, CB), -(2**14), dtype=np.int16)
+    yh = np.full((n_tiles * TH, CB), 0xFFFF, dtype=np.uint16)
     for ti in range(GR):
         for tj in range(GC):
             t = ti * GC + tj
@@ -310,8 +321,9 @@ def build_tail_plan(
                 src = slice(ti * TH + q * 8, ti * TH + (q + 1) * 8)
                 dst = slice(t * TH + q * 8, t * TH + (q + 1) * 8)
                 bias = row0_t[t] + b4
-                yh_a[dst] = (yhat_a[src, c0 : c0 + CB] - bias).astype(np.int16)
-                yh_b[dst] = (yhat_b[src, c0 : c0 + CB] - bias).astype(np.int16)
+                ca = _stripe_byte(yhat_a[src, c0 : c0 + CB] - bias)
+                cb = _stripe_byte(yhat_b[src, c0 : c0 + CB] - bias)
+                yh[dst] = ca | (cb << 8)
                 # coverage: every used pixel's window index in [0, QHS*8)
                 used = inbp[src, tj * TW : (tj + 1) * TW]
                 if used.any():
@@ -329,7 +341,7 @@ def build_tail_plan(
         RB=RB, CB=CB, GR=GR, GC=GC,
         row0=row0_t, col0=col0_t,
         qenc=qenc, QHS=QHS,
-        x_abs=x_abs, yh_a=yh_a, yh_b=yh_b,
+        x_abs=x_abs, yh=yh.view(np.int16),
         p03=float(p03), z_near=float(z_near), z_far=float(z_far),
     )
 
@@ -356,16 +368,14 @@ def _tail_kernel(
     x_abs_ref,
     lut_ref,
     disp_ref,
-    yh_a_hbm,
-    yh_b_hbm,
+    yh_hbm,
     disp_out_ref,
     depth_ref,
     b_ref,
     g_ref,
     r_ref,
     band,
-    yh_a,
-    yh_b,
+    yh,
     dil,
     sems,
     *,
@@ -375,8 +385,8 @@ def _tail_kernel(
     """Full-output variant: emits disparity + metric depth + BGR."""
     _tail_core(
         row0_ref, col0_ref, qenc_ref, x_abs_ref, lut_ref, disp_ref,
-        yh_a_hbm, yh_b_hbm, disp_out_ref, depth_ref, b_ref, g_ref,
-        r_ref, band, yh_a, yh_b, dil, sems, plan=plan, pack=pack,
+        yh_hbm, disp_out_ref, depth_ref, b_ref, g_ref,
+        r_ref, band, yh, dil, sems, plan=plan, pack=pack,
     )
 
 
@@ -387,14 +397,12 @@ def _tail_kernel_display(
     x_abs_ref,
     lut_ref,
     disp_ref,
-    yh_a_hbm,
-    yh_b_hbm,
+    yh_hbm,
     b_ref,
     g_ref,
     r_ref,
     band,
-    yh_a,
-    yh_b,
+    yh,
     dil,
     sems,
     *,
@@ -408,8 +416,8 @@ def _tail_kernel_display(
     copies."""
     _tail_core(
         row0_ref, col0_ref, qenc_ref, x_abs_ref, lut_ref, disp_ref,
-        yh_a_hbm, yh_b_hbm, None, None, b_ref, g_ref,
-        r_ref, band, yh_a, yh_b, dil, sems, plan=plan, pack=pack,
+        yh_hbm, None, None, b_ref, g_ref,
+        r_ref, band, yh, dil, sems, plan=plan, pack=pack,
     )
 
 
@@ -420,12 +428,10 @@ def _tail_kernel_display_packed(
     x_abs_ref,
     lut_ref,
     disp_ref,
-    yh_a_hbm,
-    yh_b_hbm,
+    yh_hbm,
     bgrx_ref,
     band,
-    yh_a,
-    yh_b,
+    yh,
     dil,
     sems,
     *,
@@ -435,11 +441,12 @@ def _tail_kernel_display_packed(
     """Display-only variant emitting ONE u32 packed-BGR plane (the word
     the colorize LUT already produces): kills the channel split in-kernel
     AND the downstream 3-plane interleave; the host unpacks with a free
-    numpy view at display rate."""
+    numpy view at display rate.  (b_ref carries the u32 ref; g_ref=None
+    selects the packed colorize path in _tail_core.)"""
     _tail_core(
         row0_ref, col0_ref, qenc_ref, x_abs_ref, lut_ref, disp_ref,
-        yh_a_hbm, yh_b_hbm, None, None, bgrx_ref, None,
-        None, band, yh_a, yh_b, dil, sems, plan=plan, pack=pack,
+        yh_hbm, None, None, bgrx_ref, None,
+        None, band, yh, dil, sems, plan=plan, pack=pack,
     )
 
 
@@ -450,16 +457,14 @@ def _tail_core(
     x_abs_ref,
     lut_ref,
     disp_ref,
-    yh_a_hbm,
-    yh_b_hbm,
+    yh_hbm,
     disp_out_ref,
     depth_ref,
     b_ref,
     g_ref,
     r_ref,
     band,
-    yh_a,
-    yh_b,
+    yh,
     dil,
     sems,
     *,
@@ -489,14 +494,9 @@ def _tail_core(
             sems.at[slot, 0],
         ).start()
         pltpu.make_async_copy(
-            yh_a_hbm.at[pl.ds(t * TH, TH), :],
-            yh_a.at[slot],
+            yh_hbm.at[pl.ds(t * TH, TH), :],
+            yh.at[slot],
             sems.at[slot, 1],
-        ).start()
-        pltpu.make_async_copy(
-            yh_b_hbm.at[pl.ds(t * TH, TH), :],
-            yh_b.at[slot],
-            sems.at[slot, 2],
         ).start()
 
     def wait_dmas(t, slot):
@@ -508,14 +508,9 @@ def _tail_core(
             sems.at[slot, 0],
         ).wait()
         pltpu.make_async_copy(
-            yh_a_hbm.at[pl.ds(t * TH, TH), :],
-            yh_a.at[slot],
+            yh_hbm.at[pl.ds(t * TH, TH), :],
+            yh.at[slot],
             sems.at[slot, 1],
-        ).wait()
-        pltpu.make_async_copy(
-            yh_b_hbm.at[pl.ds(t * TH, TH), :],
-            yh_b.at[slot],
-            sems.at[slot, 2],
         ).wait()
 
     slot = jax.lax.rem(tile, 2)
@@ -530,8 +525,7 @@ def _tail_core(
 
     wait_dmas(tile, slot)
     band = band.at[slot]
-    yh_a = yh_a.at[slot]
-    yh_b = yh_b.at[slot]
+    yh = yh.at[slot]
 
     # --- dilate the band in VMEM (separable 7x7 max) -----------------------
     # shifted maxes compose: radius 1 then 2 covers the +-3 (7-wide) window
@@ -580,13 +574,16 @@ def _tail_core(
         outq = jnp.zeros((8, 128), jnp.float32)
         for gc in range(n_colgrp):
             csl = slice(gc * 128, (gc + 1) * 128)
-            # stripe values are pre-biased on host: low 3 bits = row
-            # within group, upper bits = group; & 7 bounds the gather
-            # index for ANY value (two's complement), and lanes whose
-            # group matches no h are overwritten by no select -- their
-            # garbage gathers are never read
-            ta = yh_a[sl, csl].astype(jnp.int32)
-            tb = yh_b[sl, csl].astype(jnp.int32)
+            # byte-packed stripe values, pre-biased on host: low byte =
+            # last-writer slot, high byte = first-writer slot; within a
+            # byte, low 3 bits = row within group, upper bits = group
+            # (255 sentinel -> group 31, selected by no h); & 7 bounds
+            # the gather index for ANY value, and lanes whose group
+            # matches no h are overwritten by no select -- their garbage
+            # gathers are never read
+            t = yh[sl, csl].astype(jnp.int32)
+            ta = t & 255
+            tb = (t >> 8) & 255
             ia = ta & 7
             ib = tb & 7
             hs_a = ta >> 3
@@ -911,8 +908,7 @@ def pallas_tail(
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lut, full
             pl.BlockSpec(memory_space=pl.ANY),  # disp_pad
-            pl.BlockSpec(memory_space=pl.ANY),  # yh_a stripes
-            pl.BlockSpec(memory_space=pl.ANY),  # yh_b stripes
+            pl.BlockSpec(memory_space=pl.ANY),  # packed yh stripes
         ],
         out_specs=[
             pl.BlockSpec(
@@ -925,9 +921,8 @@ def pallas_tail(
         scratch_shapes=[
             pltpu.VMEM((2, plan.RB, plan.CB), band_dtype),
             pltpu.VMEM((2, plan.TH, plan.CB), jnp.int16),
-            pltpu.VMEM((2, plan.TH, plan.CB), jnp.int16),
             pltpu.VMEM((2 * plan.RB, plan.CB), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
 
@@ -958,8 +953,7 @@ def pallas_tail(
         jnp.asarray(plan.x_abs),
         jnp.asarray(_make_lut()),
         disp_pad,
-        jnp.asarray(plan.yh_a),
-        jnp.asarray(plan.yh_b),
+        jnp.asarray(plan.yh),
     )
     if emit_aux:
         disp_out, depth, b, g, r = outs
