@@ -82,6 +82,13 @@ def main():
         xmap_cache_dir=os.path.expanduser("~/.cache/xmaps_tpu"),
     )
     setup_s = time.perf_counter() - t0
+    import sys as _sys
+    _t_prog = time.perf_counter()
+
+    def _mark(tag):
+        print(f"[bench_stream +{time.perf_counter() - _t_prog:.1f}s] {tag}", file=_sys.stderr, flush=True)
+
+    _mark(f"engine ready (setup {setup_s:.1f}s)")
 
     pool = HostStagingPool(
         engine.cfg.event_capacity, depth=2, layout=engine.compact_layout
@@ -108,6 +115,7 @@ def main():
         del results[:-1]
 
     host_pre_s: list[float] = []
+    host_work_s: list[float] = []
 
     def replay(mode):
         """mode 'ring' = packet pre-staging (the production streaming
@@ -131,6 +139,9 @@ def main():
                 )
                 assert out is not None, "ring overrun in bench"
                 pkts, meta = out
+                # pure host framework work (everything before the first
+                # backend interaction)
+                host_work_s.append(time.perf_counter() - t0)
                 res = engine.process_ring(pkts, meta)
                 # ASYNC: no fetch, no block -- link physics excluded by
                 # construction; the device-side duration is read from the
@@ -201,12 +212,14 @@ def main():
                 ring.stage_packets(pkt)
             tf.process_events(pkt)
 
+    _mark("ring warmup")
     replay("ring")  # warmup (compiles)
     assert results and results[-1][0] > 1000, "pipeline produced no inliers"
     lat_s.clear()
     replay("ring")
     lat_ring = list(lat_s)
 
+    _mark("compact warmup")
     replay("compact")  # warmup (compiles the segmented program)
     lat_s.clear()
     replay("compact")
@@ -227,13 +240,23 @@ def main():
     trace_dir = "/tmp/xmaps_stream_trace"
     shutil.rmtree(trace_dir, ignore_errors=True)
     host_pre_s.clear()
+    host_work_s.clear()
+    _mark("direct trace replay")
     with jax.profiler.trace(trace_dir):
         replay("direct")
         if results:
             jax.block_until_ready(results[-1][1])
     host_pre = np.asarray(host_pre_s) * 1e3
+    host_work = np.asarray(host_work_s) * 1e3
 
+    # Device-clock frame path, one cluster per dispatched frame: from the
+    # start of the frame's FIRST device-side event (the (3, k) meta copy
+    # the dispatch issues) to the END of the frame program module.  Both
+    # endpoints are device-timeline timestamps, so host->device link
+    # physics and the tunnel's RPC issuance never enter the measurement
+    # -- excluded by construction, no baseline subtraction anywhere.
     dev_durs_ms = []
+    frame_path_ms = []
     paths = glob.glob(
         os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True
     )
@@ -248,35 +271,101 @@ def main():
             p for p, n in pid_names.items()
             if "TPU" in n or "/device" in n.lower()
         }
-        # module-level executions of the ring frame program (one per
-        # dispatched frame)
+        modules = []  # (ts, end) of each ring frame program execution
+        copies = []  # ts of device-side copy events (meta H2D arrival)
         for ev in trace.get("traceEvents", []):
             if ev.get("ph") != "X":
                 continue
             if device_pids and ev.get("pid") not in device_pids:
                 continue
-            if "ring_frame" in ev.get("name", ""):
-                dev_durs_ms.append(ev.get("dur", 0.0) / 1e3)
-    # keep only module-level rows (per-op children share the name filter
-    # only if nested modules repeat it; dedupe by taking the largest
-    # len(host_pre) durations, one per dispatch)
-    dev_durs_ms.sort(reverse=True)
-    dev_durs_ms = dev_durs_ms[: max(len(host_pre), 1)]
+            name = ev.get("name", "")
+            ts, dur = ev.get("ts", 0.0), ev.get("dur", 0.0)
+            if name.startswith("jit_") and "ring_frame" in name:
+                # the module-level execution event jit_ring_frame...(...);
+                # kernel sub-events repeat the name WITHOUT the jit_ prefix
+                modules.append((ts, ts + dur))
+                dev_durs_ms.append(dur / 1e3)
+            elif name.startswith("copy"):
+                copies.append(ts)
+        copies.sort()
+        copies = np.asarray(copies, dtype=np.float64)
+        for ts, end in modules:
+            # the frame's meta copies land in the gap since the previous
+            # frame (>= 10 ms at 60 Hz); attribute copies within 8 ms
+            # before the program start to this frame
+            lo = np.searchsorted(copies, ts - 8000.0)
+            hi = np.searchsorted(copies, ts)
+            start = copies[lo] if hi > lo else ts
+            frame_path_ms.append((end - start) / 1e3)
     p50_host_pre = float(np.percentile(host_pre, 50)) if len(host_pre) else None
+    p50_host_work = (
+        float(np.percentile(host_work, 50)) if len(host_work) else None
+    )
     p50_dev = (
         float(np.percentile(dev_durs_ms, 50)) if dev_durs_ms else None
     )
-    p50_direct = (
-        round(p50_host_pre + p50_dev, 3)
-        if p50_host_pre is not None and p50_dev is not None
-        else None
+    p50_dev_path = (
+        float(np.percentile(frame_path_ms, 50)) if frame_path_ms else None
     )
+
+    # Co-located dispatch-issue estimate, measured (not assumed): the
+    # async issue cost of a structure-matched jitted call on the host's
+    # OWN (CPU) backend -- the in-process dispatch path a PCIe-attached
+    # accelerator host runs, with no tunnel RPC in it.  This is ADDED to
+    # the direct figure (conservative direction), never subtracted.
+    # (the site plugin restricts this process to the tunneled backend, so
+    # the probe runs in a JAX_PLATFORMS=cpu subprocess)
+    colocated_dispatch_ms = None
+    try:
+        import subprocess
+
+        probe = (
+            "import time, numpy as np\n"
+            "import jax, jax.numpy as jnp\n"
+            "from xmaps_tpu.utils.jaxenv import respect_jax_platforms\n"
+            "respect_jax_platforms()\n"
+            "meta = np.zeros((3, 5), np.int32)\n"
+            "bufs = tuple(jax.device_put(np.zeros(1024, np.uint32))"
+            " for _ in range(5))\n"
+            "@jax.jit\n"
+            "def f(bufs, meta):\n"
+            "    acc = meta.sum()\n"
+            "    for b in bufs:\n"
+            "        acc = acc + b[0].astype(jnp.int32)\n"
+            "    return acc\n"
+            "jax.block_until_ready(f(bufs, meta))\n"
+            "ts = []\n"
+            "for _ in range(60):\n"
+            "    t1 = time.perf_counter()\n"
+            "    r = f(bufs, meta)\n"
+            "    ts.append(time.perf_counter() - t1)\n"
+            "    jax.block_until_ready(r)\n"
+            "print(float(np.percentile(ts, 50) * 1e3))\n"
+        )
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        out = subprocess.run(
+            [_sys.executable, "-c", probe],
+            capture_output=True, text=True, timeout=180, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        colocated_dispatch_ms = float(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        import traceback
+
+        traceback.print_exc(file=_sys.stderr)
+
+    p50_direct = None
+    if p50_dev_path is not None and p50_host_work is not None:
+        p50_direct = round(
+            p50_host_work + (colocated_dispatch_ms or 0.0) + p50_dev_path, 3
+        )
 
     # Tunnel round-trip baseline a PCIe-attached host would not pay:
     # dispatch + 4-byte fetch of a trivial program.
     dev_one = jax.device_put(np.int32(1))
     add_one = jax.jit(lambda v: v + 1)
     int(add_one(dev_one))
+    _mark("rtt probe")
     rtt = []
     for _ in range(40):
         t1 = time.perf_counter()
@@ -313,6 +402,7 @@ def main():
 
     meta0 = np.zeros((3, _k), np.int32)
     int(null_dispatch(null_xys, null_tps, meta0, engine.tables))
+    _mark("null dispatch baseline")
     base = []
     for _ in range(40):
         t1 = time.perf_counter()
@@ -337,6 +427,7 @@ def main():
     int(null_dispatch_dep(
         jax.device_put(pkt_buf), null_xys, null_tps, meta0, engine.tables
     ))
+    _mark("contended baseline")
     base_c = []
     for _ in range(40):
         t1 = time.perf_counter()
@@ -348,10 +439,15 @@ def main():
     # Display-path cost over the tunnel (bandwidth-bound, environment
     # overhead): first fetch of a freshly computed 2.7 MB BGR frame
     # (jax caches the host copy, so only the first fetch is honest).
+    _mark("display fetch probe")
     fetch = []
     frame_nbytes = 0
     for _ in range(3):
-        res = engine.process_staged(pool.stage(evs[: 28 * 1024]))
+        # reuse the compact-staging program the replay already compiled
+        # (the probe times the frame TRANSFER; which staging tier computed
+        # the frame is irrelevant, and the 2-word tier would force a third
+        # program compile just for this)
+        res = engine.process_staged(pool.stage_compact(evs[: 28 * 1024]))
         int(res.num_inliers)  # compute done; now time the pure transfer
         t1 = time.perf_counter()
         img = np.asarray(jax.device_get(res.frame_bgr))
@@ -375,12 +471,25 @@ def main():
         "vs_baseline": round(2.67 / max(p50, 1e-6), 2),
         "extra": {
             "p95_ms": round(p95, 3),
-            # DIRECT framework latency (no baseline subtraction): host
-            # trigger-handover->dispatch + the frame program's device
-            # execution duration from the profiler trace; no fetch, no
-            # RTT anywhere in either term
+            # DIRECT framework latency, no baseline subtraction anywhere:
+            # host framework work (trigger handover -> first backend call)
+            # + measured co-located dispatch issue (CPU backend, ADDED)
+            # + the device-clock frame path (meta-copy arrival -> frame
+            # program end, both endpoints on the device timeline, so the
+            # tunnel's RPC issuance and link transfer never enter)
             "p50_framework_direct_ms": p50_direct,
-            "p50_host_handover_to_dispatch_ms": (
+            "p50_host_framework_work_ms": (
+                round(p50_host_work, 4) if p50_host_work is not None else None
+            ),
+            "colocated_dispatch_issue_ms": (
+                round(colocated_dispatch_ms, 4)
+                if colocated_dispatch_ms is not None
+                else None
+            ),
+            "p50_device_frame_path_ms": (
+                round(p50_dev_path, 3) if p50_dev_path is not None else None
+            ),
+            "p50_host_handover_to_dispatch_tunnel_ms": (
                 round(p50_host_pre, 3) if p50_host_pre is not None else None
             ),
             "p50_device_program_ms": (

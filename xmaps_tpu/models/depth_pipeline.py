@@ -29,6 +29,17 @@ from xmaps_tpu.ops.frame_pipeline import (
 from xmaps_tpu.ops.xmap import build_x_map, build_x_map_numpy
 
 
+def _named_partial(fn, name: str, **kw):
+    """functools.partial whose __name__ survives into the jitted HLO
+    module name (``jit_<name>``), so profiler traces identify the frame
+    programs instead of showing ``jit__unknown``."""
+    import functools
+
+    p = functools.partial(fn, **kw)
+    p.__name__ = name
+    return p
+
+
 def _xmap_cache_key(time_map: np.ndarray, x_map_width: int, t_px_scale: int,
                     num_scanlines: int) -> str:
     h = hashlib.sha256()
@@ -101,7 +112,9 @@ class XMapsDepthEngine:
                 display_packed=True,
             )
 
-        self._staged_fn = jax.jit(functools.partial(staged_frame, cfg=self.cfg))
+        self._staged_fn = jax.jit(
+            _named_partial(staged_frame, "staged_frame", cfg=self.cfg)
+        )
 
         def ring_frame(xys, tps, meta, tables, cfg):
             batch = assemble_ring_frame(xys, tps, meta, cfg.event_capacity)
@@ -115,7 +128,9 @@ class XMapsDepthEngine:
                 display_packed=True,
             )
 
-        self._ring_fn = jax.jit(functools.partial(ring_frame, cfg=self.cfg))
+        self._ring_fn = jax.jit(
+            _named_partial(ring_frame, "ring_frame", cfg=self.cfg)
+        )
 
         # compact (one-word) ring staging: valid whenever the camera dims
         # leave >= 13 t_rel bits (io.prefetch.RingLayout) -- the pipe
@@ -142,7 +157,9 @@ class XMapsDepthEngine:
                 )
 
             self._ring_compact_fn = jax.jit(
-                functools.partial(ring_frame_compact, cfg=self.cfg)
+                _named_partial(
+                    ring_frame_compact, "ring_frame_compact", cfg=self.cfg
+                )
             )
 
         # 1-word-per-event staging layout (pure geometry; None if the
@@ -184,7 +201,9 @@ class XMapsDepthEngine:
                 )
 
             self._staged_compact_fn = jax.jit(
-                functools.partial(staged_compact_frame, cfg=self.cfg)
+                _named_partial(
+                    staged_compact_frame, "staged_compact_frame", cfg=self.cfg
+                )
             )
 
     # -- construction --------------------------------------------------
