@@ -13,6 +13,7 @@ published 2.67 ms/frame CPU figure (paper Table 2, BASELINE.md) as a
 speedup factor (>1 = faster than the reference).
 """
 
+import functools
 import json
 import os
 import time
@@ -162,11 +163,20 @@ def main():
     # depth/disparity maps are intermediates.  The full-FrameResult
     # program (process_frame API) additionally stores both f32 maps and
     # costs ~30 us more per frame.
+    from xmaps_tpu.models.depth_pipeline import display_out_shardings
+
+    disp_fmt = display_out_shardings()
+    one_kw = {} if disp_fmt is None else {"out_shardings": disp_fmt}
+    group_kw = (
+        {} if disp_fmt is None
+        else {"out_shardings": [disp_fmt] * len(frames)}
+    )
     fn = jax.jit(
         lambda b, prio, bands: depth_frame(
             b, tables, cfg, tail_plan=tp, event_plan=ep,
             presort_priority=prio, presort_bands=bands, display_only=True, display_packed=True,
-        )
+        ),
+        **one_kw,
     )
 
     # Warmup / compile.
@@ -193,7 +203,7 @@ def main():
     # per-frame device time is what remains.
     F = len(frames)
 
-    @jax.jit
+    @functools.partial(jax.jit, **group_kw)
     def run_group(bs):
         return [
             depth_frame(

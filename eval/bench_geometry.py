@@ -17,6 +17,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -145,11 +146,18 @@ def main(argv=None):
     tables, cfg = engine.tables, engine.cfg
     tp, ep = engine.tail_plan, engine.event_plan
 
+    from xmaps_tpu.models.depth_pipeline import display_out_shardings
+
+    disp_fmt = display_out_shardings()
+    group_jit_kw = (
+        {} if disp_fmt is None else {"out_shardings": [disp_fmt] * len(frames)}
+    )
+
     if args.winners and ep is not None:
         w_caps = sorted({f[0].x.shape[0] for f in frames})
         print(f"# winner batch capacities in group: {w_caps}", flush=True)
 
-        @jax.jit
+        @functools.partial(jax.jit, **group_jit_kw)
         def run_group(bs):
             return [
                 depth_frame(
@@ -163,7 +171,7 @@ def main(argv=None):
 
     else:
 
-        @jax.jit
+        @functools.partial(jax.jit, **group_jit_kw)
         def run_group(bs):
             return [
                 depth_frame(

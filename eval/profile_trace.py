@@ -21,7 +21,20 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--geometry", choices=["demo", "esl"], default="demo")
-    ap.add_argument("--display-only", action="store_true")
+    ap.add_argument(
+        "--display-only", action="store_true",
+        help="display surface but UNPACKED BGR (the pre-round-4 surface)",
+    )
+    ap.add_argument(
+        "--full", action="store_true",
+        help="trace the full FrameResult surface (depth/disparity/BGR "
+        "outputs + their layout copies) instead of the streaming surface",
+    )
+    ap.add_argument(
+        "--frames", type=int, default=0,
+        help="group size override (default: 24 demo / 12 esl); smaller "
+        "groups compile much faster at the ESL geometry",
+    )
     args = ap.parse_args()
 
     import jax
@@ -67,7 +80,7 @@ def main():
     )
     rng = np.random.default_rng(7)
     frames = []
-    n_group = 12 if args.geometry == "esl" else 24
+    n_group = args.frames or (12 if args.geometry == "esl" else 24)
     for i in range(n_group):
         ev = simulate_plane_events(
             calib, depth_m=0.45 + 0.02 * i, subsample=0.031,
@@ -81,16 +94,32 @@ def main():
         frames.append(engine.make_sorted_batch(ev))
     runs_ok = all(b.runs_ok for b in frames)
     frames = [jax.device_put(tuple(b), dev) for b in frames]
-    disp_only = bool(args.display_only)
+    # Default: the STREAMING display surface (display_only + packed-BGR),
+    # i.e. exactly what runtime/pipe.py and the benches execute per frame.
+    # --full instead returns the whole FrameResult (depth + disparity +
+    # unpacked BGR) and pays XLA output-layout materialization copies
+    # (~52 us/frame at the ESL geometry) that the live path never runs.
+    disp_only = not args.full
+    packed = not args.full and not args.display_only
 
-    @jax.jit
+    import functools
+
+    from xmaps_tpu.models.depth_pipeline import display_out_shardings
+
+    disp_fmt = display_out_shardings() if packed else None
+    group_kw = (
+        {} if disp_fmt is None
+        else {"out_shardings": [disp_fmt] * len(frames)}
+    )
+
+    @functools.partial(jax.jit, **group_kw)
     def run_group(bs):
         return [
             depth_frame(
                 b, tables, cfg, tail_plan=tp, event_plan=ep,
                 presort_priority=prio, presort_bands=bands,
                 presort_runs=runs_ok and prio is not None,
-                display_only=disp_only,
+                display_only=disp_only, display_packed=packed,
             )
             for b, prio, bands in bs
         ]
@@ -115,33 +144,94 @@ def main():
     with gzip.open(paths[0], "rt") as f:
         trace = json.load(f)
 
-    # device-side complete events: aggregate duration by name
-    agg = defaultdict(float)
-    cnt = defaultdict(int)
+    # Aggregate device ops into a per-frame stage budget.  Per-frame op
+    # instances carry .N suffixes (fusion.2, run_group.33, ...): strip
+    # them so the 12/24 copies of each frame's op aggregate together,
+    # then bucket into the three kernels vs everything else.
+    import re
+
     pid_names = {}
+    tid_names = defaultdict(dict)
     for ev in trace.get("traceEvents", []):
-        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+        if ev.get("ph") != "M":
+            continue
+        if ev.get("name") == "process_name":
             pid_names[ev["pid"]] = ev.get("args", {}).get("name", "")
-    device_pids = {
-        p for p, n in pid_names.items()
-        if "TPU" in n or "/device" in n.lower() or "xla" in n.lower()
-    }
+        elif ev.get("name") == "thread_name":
+            tid_names[ev["pid"]][ev["tid"]] = ev.get("args", {}).get(
+                "name", ""
+            )
+    device_pids = {p for p, n in pid_names.items() if "TPU" in n}
+    if not device_pids:  # CPU fallback (smoke runs)
+        device_pids = {
+            p for p, n in pid_names.items() if "/device" in n.lower()
+        }
+
+    runs = 3
+    frames = runs * n_group
+    buckets = defaultdict(float)
+    by_base = defaultdict(float)
+    base_cnt = defaultdict(int)
+    module_us = 0.0
+    shape_re = re.compile(r"=\s*\(?(\w+)\[([\d,]*)\]")
+
+    def classify(base, long_name):
+        if "custom-call" in long_name:
+            m = shape_re.search(long_name)
+            if m and m.group(1) == "s32":
+                return "event_kernel"
+            return "tail_kernel"
+        if base.startswith("fusion"):
+            m = shape_re.search(long_name)
+            if m and m.group(1) == "u32":
+                numel = 1
+                for d in filter(None, m.group(2).split(",")):
+                    numel *= int(d)
+                if numel > 100_000:
+                    return "scatter"
+        return "other"
+
     for ev in trace.get("traceEvents", []):
-        if ev.get("ph") != "X":
+        if ev.get("ph") != "X" or ev.get("pid") not in device_pids:
             continue
-        pid = ev.get("pid")
-        if device_pids and pid not in device_pids:
-            continue
+        tname = tid_names[ev["pid"]].get(ev["tid"], "")
         name = ev.get("name", "")
-        agg[name] += ev.get("dur", 0.0)
-        cnt[name] += 1
-    total = sum(agg.values())
-    rows = sorted(agg.items(), key=lambda kv: -kv[1])[:30]
-    print(f"# pids: {pid_names}")
-    print(f"# total traced us (3 groups): {total:.0f}")
-    for name, dur in rows:
-        per_frame = dur / (3 * n_group)
-        print(f"{per_frame:9.1f} us/frame  x{cnt[name]:5d}  {name[:110]}")
+        dur = ev.get("dur", 0.0)
+        if "Module" in tname:
+            module_us += dur
+            continue
+        if "Ops" not in tname:
+            continue  # overlays / derived rows would double-count
+        base = re.sub(r"\.\d+$", "", name)
+        long_name = str(ev.get("args", {}).get("long_name", ""))
+        buckets[classify(base, long_name)] += dur
+        by_base[base] += dur
+        base_cnt[base] += 1
+
+    ops_total = sum(buckets.values())
+    print(f"# surface: {'full' if args.full else 'stream'}"
+          f"{' (unpacked)' if args.display_only else ''}, "
+          f"geometry={args.geometry}, {n_group} frames/group x {runs} runs")
+    print(f"# module total: {module_us / frames:.1f} us/frame; "
+          f"device ops total: {ops_total / frames:.1f} us/frame")
+    for k in ("event_kernel", "scatter", "tail_kernel", "other"):
+        print(f"  {k:13s} {buckets[k] / frames:9.1f} us/frame")
+    print("# top ops (aggregated across per-frame instances):")
+    for base, dur in sorted(by_base.items(), key=lambda kv: -kv[1])[:12]:
+        print(f"{dur / frames:9.1f} us/frame  x{base_cnt[base]:5d}  "
+              f"{base[:90]}")
+    summary = {
+        "metric": "device_stage_budget_us_per_frame",
+        "geometry": args.geometry,
+        "surface": "full" if args.full else "stream",
+        "event_kernel_us": round(buckets["event_kernel"] / frames, 1),
+        "scatter_us": round(buckets["scatter"] / frames, 1),
+        "tail_kernel_us": round(buckets["tail_kernel"] / frames, 1),
+        "outside_kernels_us": round(buckets["other"] / frames, 1),
+        "device_ops_total_us": round(ops_total / frames, 1),
+        "module_total_us": round(module_us / frames, 1),
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -40,6 +40,34 @@ def _named_partial(fn, name: str, **kw):
     return p
 
 
+def display_out_shardings():
+    """out_shardings pinning the packed-display output row-major on TPU.
+
+    The streaming programs end in the Pallas tail kernel, whose display
+    plane is written in row-major ({1,0}) tiled layout.  Left to itself,
+    XLA picks the minimum-tile-padding layout for entry outputs -- {0,1}
+    at 1920x1080 -- and inserts a full-image relayout copy on the seam
+    (measured 14.2 us/frame at the ESL eval geometry, eval/profile_trace).
+    The host consumes the plane row-major anyway (numpy view unpack,
+    runtime/pipe.py), so pin the output to the kernel's native layout.
+    Returns None (use jit defaults) off-TPU: the CPU backend has no tiled
+    layouts and the tests compare values, not layouts.
+    """
+    dev = jax.devices()[0]
+    if dev.platform != "tpu":
+        return None
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+
+    sds = SingleDeviceSharding(dev)
+    return FrameResult(
+        frame_bgr=Format(Layout(major_to_minor=(0, 1)), sds),
+        depth=None,
+        disp_map=None,
+        num_inliers=sds,
+    )
+
+
 def _xmap_cache_key(time_map: np.ndarray, x_map_width: int, t_px_scale: int,
                     num_scanlines: int) -> str:
     h = hashlib.sha256()
@@ -96,6 +124,11 @@ class XMapsDepthEngine:
             event_plan=self.event_plan,
         )
 
+        # Pin the packed-display output to the tail kernel's row-major
+        # layout on TPU (kills a full-image relayout copy per frame).
+        disp_fmt = display_out_shardings()
+        jit_kw = {} if disp_fmt is None else {"out_shardings": disp_fmt}
+
         # The streaming programs run display-only: the runtime's frame
         # callback consumes the colorized frame + the inlier count, and
         # the reference's per-frame path likewise emits only the frame
@@ -113,7 +146,8 @@ class XMapsDepthEngine:
             )
 
         self._staged_fn = jax.jit(
-            _named_partial(staged_frame, "staged_frame", cfg=self.cfg)
+            _named_partial(staged_frame, "staged_frame", cfg=self.cfg),
+            **jit_kw,
         )
 
         def ring_frame(xys, tps, meta, tables, cfg):
@@ -129,7 +163,8 @@ class XMapsDepthEngine:
             )
 
         self._ring_fn = jax.jit(
-            _named_partial(ring_frame, "ring_frame", cfg=self.cfg)
+            _named_partial(ring_frame, "ring_frame", cfg=self.cfg),
+            **jit_kw,
         )
 
         # compact (one-word) ring staging: valid whenever the camera dims
@@ -159,7 +194,8 @@ class XMapsDepthEngine:
             self._ring_compact_fn = jax.jit(
                 _named_partial(
                     ring_frame_compact, "ring_frame_compact", cfg=self.cfg
-                )
+                ),
+                **jit_kw,
             )
 
         # 1-word-per-event staging layout (pure geometry; None if the
@@ -203,7 +239,8 @@ class XMapsDepthEngine:
             self._staged_compact_fn = jax.jit(
                 _named_partial(
                     staged_compact_frame, "staged_compact_frame", cfg=self.cfg
-                )
+                ),
+                **jit_kw,
             )
 
     # -- construction --------------------------------------------------
