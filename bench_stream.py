@@ -104,8 +104,12 @@ def main():
     def on_frame_compact(frame_evs):
         t0 = time.perf_counter()
         # 1 uint32/event compact staging (host-binned time) -- the
-        # segmented-staging fallback path, io/prefetch.py
-        batch = pool.stage_compact(frame_evs)
+        # segmented-staging fallback path, io/prefetch.py.  Without a
+        # CompactLayout (very large sensors) use 2-word staging instead.
+        if engine.compact_layout is not None:
+            batch = pool.stage_compact(frame_evs)
+        else:
+            batch = pool.stage(frame_evs)
         res = engine.process_staged(batch)
         # 4-byte completion probe: the depth frame is computed and
         # resident on device once this returns
@@ -249,14 +253,23 @@ def main():
     host_pre = np.asarray(host_pre_s) * 1e3
     host_work = np.asarray(host_work_s) * 1e3
 
-    # Device-clock frame path, one cluster per dispatched frame: from the
-    # start of the frame's FIRST device-side event (the (3, k) meta copy
-    # the dispatch issues) to the END of the frame program module.  Both
-    # endpoints are device-timeline timestamps, so host->device link
-    # physics and the tunnel's RPC issuance never enter the measurement
-    # -- excluded by construction, no baseline subtraction anywhere.
+    # Device-clock frame path, one cluster per dispatched frame.  The
+    # intended start endpoint is the arrival of the frame's (3, k) meta
+    # copy on the device timeline; the end is the frame program module's
+    # end.  Through the tunneled device the profiler trace carries NO
+    # H2D-transfer events at all (the only "copy*" events are
+    # program-INTERNAL HLO copy-start/done ops, which begin after the
+    # module starts) -- so the meta copy is identified strictly: a
+    # device-timeline event OUTSIDE any module whose long_name matches
+    # the (3, k) s32 meta shape.  Frames where no such event exists fall
+    # back to the module's own start and are COUNTED in
+    # frame_path_fallback_frames; if every frame fell back,
+    # p50_device_frame_path_ms is reported as None (the module duration
+    # already appears as p50_device_program_ms -- it is not re-published
+    # under the meta-copy definition).
     dev_durs_ms = []
     frame_path_ms = []
+    frame_path_fallbacks = 0
     paths = glob.glob(
         os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True
     )
@@ -272,7 +285,10 @@ def main():
             if "TPU" in n or "/device" in n.lower()
         }
         modules = []  # (ts, end) of each ring frame program execution
-        copies = []  # ts of device-side copy events (meta H2D arrival)
+        copies = []  # (ts) of candidate meta-copy events
+        import re as _re
+
+        meta_re = _re.compile(r"s32\[3,\d+\]")
         for ev in trace.get("traceEvents", []):
             if ev.get("ph") != "X":
                 continue
@@ -285,18 +301,36 @@ def main():
                 # kernel sub-events repeat the name WITHOUT the jit_ prefix
                 modules.append((ts, ts + dur))
                 dev_durs_ms.append(dur / 1e3)
-            elif name.startswith("copy"):
-                copies.append(ts)
-        copies.sort()
+            elif "copy" in name.lower() or "transfer" in name.lower():
+                long_name = str(ev.get("args", {}).get("long_name", ""))
+                if meta_re.search(long_name) or meta_re.search(name):
+                    copies.append(ts)
+        modules.sort()
+        # drop meta-copy candidates that fall INSIDE a module's span
+        # (program-internal copies of the meta argument, not its arrival)
+        mod_starts = np.asarray([m[0] for m in modules])
+        mod_ends = np.asarray([m[1] for m in modules])
+
+        def outside_modules(ts):
+            i = np.searchsorted(mod_starts, ts) - 1
+            return i < 0 or ts > mod_ends[i]
+
+        copies = sorted(t for t in copies if outside_modules(t))
         copies = np.asarray(copies, dtype=np.float64)
         for ts, end in modules:
-            # the frame's meta copies land in the gap since the previous
-            # frame (>= 10 ms at 60 Hz); attribute copies within 8 ms
-            # before the program start to this frame
+            # the frame's meta copy lands in the gap since the previous
+            # frame (>= 10 ms at 60 Hz): take the LATEST matching copy
+            # within 8 ms before the program start
             lo = np.searchsorted(copies, ts - 8000.0)
             hi = np.searchsorted(copies, ts)
-            start = copies[lo] if hi > lo else ts
+            if hi > lo:
+                start = copies[hi - 1]
+            else:
+                start = ts
+                frame_path_fallbacks += 1
             frame_path_ms.append((end - start) / 1e3)
+        if frame_path_fallbacks == len(modules):
+            frame_path_ms = []  # unobservable: do not republish module dur
     p50_host_pre = float(np.percentile(host_pre, 50)) if len(host_pre) else None
     p50_host_work = (
         float(np.percentile(host_work, 50)) if len(host_work) else None
@@ -354,10 +388,29 @@ def main():
 
         traceback.print_exc(file=_sys.stderr)
 
+    # Derived co-located estimate (NOT a single measured interval): the
+    # sum of three separately measured terms.  The device term prefers
+    # the meta-copy-anchored frame path; when the tunneled trace exposes
+    # no transfer events (the usual case here -- see above), it uses the
+    # module execution duration and says so in direct_definition.
     p50_direct = None
-    if p50_dev_path is not None and p50_host_work is not None:
+    direct_definition = None
+    dev_term = p50_dev_path if p50_dev_path is not None else p50_dev
+    if dev_term is not None and p50_host_work is not None:
         p50_direct = round(
-            p50_host_work + (colocated_dispatch_ms or 0.0) + p50_dev_path, 3
+            p50_host_work + (colocated_dispatch_ms or 0.0) + dev_term, 3
+        )
+        direct_definition = (
+            "derived co-located estimate: wall-clock host framework work "
+            "+ CPU-backend dispatch-issue proxy + device "
+            + (
+                "frame path (meta-copy arrival -> program end, both on "
+                "the device timeline)"
+                if p50_dev_path is not None
+                else "program module duration (meta-copy arrival is not "
+                "observable in the tunneled device trace; "
+                f"{frame_path_fallbacks} frames fell back)"
+            )
         )
 
     # Tunnel round-trip baseline a PCIe-attached host would not pay:
@@ -446,8 +499,12 @@ def main():
         # reuse the compact-staging program the replay already compiled
         # (the probe times the frame TRANSFER; which staging tier computed
         # the frame is irrelevant, and the 2-word tier would force a third
-        # program compile just for this)
-        res = engine.process_staged(pool.stage_compact(evs[: 28 * 1024]))
+        # program compile just for this).  Configs without a CompactLayout
+        # (very large sensors) fall back to 2-word staging.
+        if engine.compact_layout is not None:
+            res = engine.process_staged(pool.stage_compact(evs[: 28 * 1024]))
+        else:
+            res = engine.process_staged(pool.stage(evs[: 28 * 1024]))
         int(res.num_inliers)  # compute done; now time the pure transfer
         t1 = time.perf_counter()
         img = np.asarray(jax.device_get(res.frame_bgr))
@@ -478,6 +535,8 @@ def main():
             # program end, both endpoints on the device timeline, so the
             # tunnel's RPC issuance and link transfer never enter)
             "p50_framework_direct_ms": p50_direct,
+            "direct_definition": direct_definition,
+            "frame_path_fallback_frames": frame_path_fallbacks,
             "p50_host_framework_work_ms": (
                 round(p50_host_work, 4) if p50_host_work is not None else None
             ),

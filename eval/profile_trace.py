@@ -172,16 +172,27 @@ def main():
     buckets = defaultdict(float)
     by_base = defaultdict(float)
     base_cnt = defaultdict(int)
+    bucket_cnt = defaultdict(int)
     module_us = 0.0
     shape_re = re.compile(r"=\s*\(?(\w+)\[([\d,]*)\]")
 
     def classify(base, long_name):
-        if "custom-call" in long_name:
+        # The two Pallas kernels lower to HLO custom-calls.  Their op
+        # names inherit the jit function name (not "pallas"), so identify
+        # them by their RESULT signature, which is structural: the event
+        # kernel returns the (xr, yr, xproj) tuple of s32[cap/128, 128];
+        # the tail kernel's first result is the display plane (u32 packed
+        # or u8 BGR).  An explicit scatter HLO (base name "scatter...")
+        # is bucketed by name; the usual case is the scatter FUSED into a
+        # kLoop fusion whose large-u32 output is the packed map.
+        if "custom-call(" in long_name:
             m = shape_re.search(long_name)
             if m and m.group(1) == "s32":
                 return "event_kernel"
             return "tail_kernel"
-        if base.startswith("fusion"):
+        if base.startswith("scatter") or base.startswith("select-and-scatter"):
+            return "scatter"
+        if base.startswith("fusion") or "fusion" in base:
             m = shape_re.search(long_name)
             if m and m.group(1) == "u32":
                 numel = 1
@@ -204,11 +215,38 @@ def main():
             continue  # overlays / derived rows would double-count
         base = re.sub(r"\.\d+$", "", name)
         long_name = str(ev.get("args", {}).get("long_name", ""))
-        buckets[classify(base, long_name)] += dur
+        bucket = classify(base, long_name)
+        buckets[bucket] += dur
         by_base[base] += dur
         base_cnt[base] += 1
+        bucket_cnt[bucket] += 1
 
     ops_total = sum(buckets.values())
+    # Sanity-check the classification against the program's known
+    # structure: exactly ONE event kernel and ONE tail kernel instance
+    # per frame, and >= 1 scatter op.  A mismatch means ops were
+    # misbucketed (e.g. an HLO pattern this classifier doesn't know), so
+    # the published stage budget would be skewed -- warn loudly with the
+    # per-bucket op counts instead of silently printing wrong numbers.
+    expect = {"event_kernel": 1.0, "tail_kernel": 1.0}
+    classify_ok = True
+    for k, want in expect.items():
+        got = bucket_cnt[k] / frames
+        if abs(got - want) > 1e-6:
+            classify_ok = False
+            print(
+                f"# WARNING: {k} matched {got:.2f} ops/frame "
+                f"(expected {want:.0f}) -- stage budget may be "
+                f"misbucketed", file=sys.stderr,
+            )
+    if bucket_cnt["scatter"] / frames < 1.0:
+        classify_ok = False
+        print(
+            f"# WARNING: scatter matched "
+            f"{bucket_cnt['scatter'] / frames:.2f} ops/frame (expected "
+            f">= 1) -- the packed-map scatter fusion was not identified",
+            file=sys.stderr,
+        )
     print(f"# surface: {'full' if args.full else 'stream'}"
           f"{' (unpacked)' if args.display_only else ''}, "
           f"geometry={args.geometry}, {n_group} frames/group x {runs} runs")
@@ -230,6 +268,11 @@ def main():
         "outside_kernels_us": round(buckets["other"] / frames, 1),
         "device_ops_total_us": round(ops_total / frames, 1),
         "module_total_us": round(module_us / frames, 1),
+        "classification_ok": classify_ok,
+        "ops_per_frame": {
+            k: round(bucket_cnt[k] / frames, 2)
+            for k in ("event_kernel", "scatter", "tail_kernel", "other")
+        },
     }
     print(json.dumps(summary))
 

@@ -40,7 +40,7 @@ def _named_partial(fn, name: str, **kw):
     return p
 
 
-def display_out_shardings():
+def display_out_shardings(device=None):
     """out_shardings pinning the packed-display output row-major on TPU.
 
     The streaming programs end in the Pallas tail kernel, whose display
@@ -52,8 +52,13 @@ def display_out_shardings():
     runtime/pipe.py), so pin the output to the kernel's native layout.
     Returns None (use jit defaults) off-TPU: the CPU backend has no tiled
     layouts and the tests compare values, not layouts.
+
+    ``device``: the device the engine's inputs/tables live on; defaults
+    to ``jax.devices()[0]``.  Pass the engine's actual device on
+    multi-chip hosts -- a mismatched SingleDeviceSharding would force a
+    cross-device transfer (or error) in every streaming jit.
     """
-    dev = jax.devices()[0]
+    dev = device if device is not None else jax.devices()[0]
     if dev.platform != "tpu":
         return None
     from jax.experimental.layout import Format, Layout
@@ -126,7 +131,12 @@ class XMapsDepthEngine:
 
         # Pin the packed-display output to the tail kernel's row-major
         # layout on TPU (kills a full-image relayout copy per frame).
-        disp_fmt = display_out_shardings()
+        # Derive the device from the tables so an engine committed to a
+        # non-default chip pins to ITS device, not jax.devices()[0].
+        tbl_dev = getattr(self.tables.x_map, "device", None)
+        disp_fmt = display_out_shardings(
+            tbl_dev if hasattr(tbl_dev, "platform") else None
+        )
         jit_kw = {} if disp_fmt is None else {"out_shardings": disp_fmt}
 
         # The streaming programs run display-only: the runtime's frame
