@@ -278,10 +278,21 @@ class CamProjMaps:
     # -- projector time map ------------------------------------------------
 
     def build_rectified_time_map(
-        self, scan_upwards: bool = True, border_replicate: bool = True
+        self, scan_upwards: bool = True, border_replicate: bool = False
     ) -> np.ndarray:
         """Linear time map rectified into the rectified frame (f32, H_rect x
-        W_rect).  Reference: proj_time_map.py:32-44."""
+        W_rect).  Reference: proj_time_map.py:32-44.
+
+        ``border_replicate`` defaults to False -- matching the reference's
+        EXECUTED behavior, not its signature: remap_proj_time_map
+        (proj_time_map.py:22-29) passes its border_mode into cv2.remap's
+        positional ``dst`` slot, so the call always runs with the default
+        BORDER_CONSTANT(0).  Out-of-projector rect pixels therefore stay
+        t == 0, which the X-map build treats as undefined (x_map.py:41-42)
+        -- the de-facto reference semantics every recorded result used.
+        Pass True for the replicate behavior the reference's parameter
+        name intended.  Pinned by tests/test_vs_reference.py.
+        """
         tm = generate_linear_projector_time_map(
             self.calib.projector_width, self.calib.projector_height, scan_upwards
         )

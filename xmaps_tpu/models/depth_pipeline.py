@@ -264,7 +264,10 @@ class XMapsDepthEngine:
         z_far: float = 1.0,
         camera_perspective: bool = False,
         scan_upwards: bool = True,
-        border_replicate: bool = True,
+        # False = the reference's EXECUTED border behavior (its
+        # border_mode lands in cv2.remap's dst slot and never applies;
+        # see calib.maps.build_rectified_time_map)
+        border_replicate: bool = False,
         zero_undistort_proj_map: bool = False,
         projector_time_map_path: Optional[str] = None,
         xmap_cache_dir: Optional[str] = None,
@@ -277,13 +280,18 @@ class XMapsDepthEngine:
 
         _trace = os.environ.get("XMAPS_SETUP_TRACE") == "1"
         _t0 = _time.perf_counter()
+        _timings: list = []  # (label, seconds since previous mark)
+        _prev = [_t0]
 
         def _mark(label):
+            now = _time.perf_counter()
+            _timings.append((label, now - _prev[0]))
+            _prev[0] = now
             if _trace:
                 import sys
 
                 print(
-                    f"[setup +{_time.perf_counter() - _t0:7.2f}s] {label}",
+                    f"[setup +{now - _t0:7.2f}s] {label}",
                     file=sys.stderr,
                     flush=True,
                 )
@@ -368,7 +376,7 @@ class XMapsDepthEngine:
                     )
 
         _mark("pallas plans built")
-        return XMapsDepthEngine(
+        eng = XMapsDepthEngine(
             cfg=cfg,
             maps=maps,
             tables=tables,
@@ -377,6 +385,11 @@ class XMapsDepthEngine:
             tail_plan=tail_plan,
             event_plan=event_plan,
         )
+        _mark("frame fns wrapped (jit, untraced)")
+        #: per-step wall-clock breakdown of this build, for
+        #: eval/profile_setup.py (cold-start attribution, SETUP_r05)
+        eng.setup_timings = list(_timings)
+        return eng
 
     @staticmethod
     def from_runtime_params(params: RuntimeParams, **kw) -> "XMapsDepthEngine":

