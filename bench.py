@@ -76,6 +76,10 @@ def main():
     jax.block_until_ready(
         jax.device_put(np.zeros(32 << 20, np.uint8), dev)
     )
+    # also absorb the FIRST device->host fetch (a distinct tunnel path;
+    # a first-D2H stall of minutes was observed and attributed in
+    # SETUP_r05.json)
+    np.asarray(jax.device_put(np.zeros(1 << 20, np.uint8), dev))
     try:
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu

@@ -72,6 +72,7 @@ def main():
     # bench.py) before timing
     jax.block_until_ready(jax.device_put(np.zeros(8, np.float32)) + 1)
     jax.block_until_ready(jax.device_put(np.zeros(32 << 20, np.uint8)))
+    np.asarray(jax.device_put(np.zeros(1 << 20, np.uint8)))  # first D2H
 
     t0 = time.perf_counter()
     engine = XMapsDepthEngine.from_calibration(

@@ -166,6 +166,32 @@ def main(argv=None):
                     print(f"MISMATCH {geom} persp={persp} depth={depth_m} "
                           f"num_inliers (packed display)")
 
+                # UNSORTED device path (the streaming ring's core: the
+                # packed 2-operand banding sort runs on device, no host
+                # presort -- ops/disparity.py round 5)
+                @jax.jit
+                def run_unsorted(b):
+                    return depth_frame(
+                        b, fused.tables, fused.cfg,
+                        tail_plan=fused.tail_plan,
+                        event_plan=fused.event_plan,
+                    )
+
+                us = jax.block_until_ready(
+                    run_unsorted(EventBatch.from_structured(ev, args.events))
+                )
+                for field in ("frame_bgr", "depth", "disp_map"):
+                    g, r = getattr(us, field), getattr(ref, field)
+                    if not np.array_equal(np.asarray(g), np.asarray(r)):
+                        ok = False
+                        print(f"MISMATCH {geom} persp={persp} "
+                              f"depth={depth_m} field={field} "
+                              f"(unsorted/packed device sort)")
+                if int(us.num_inliers) != int(ref.num_inliers):
+                    ok = False
+                    print(f"MISMATCH {geom} persp={persp} depth={depth_m} "
+                          f"num_inliers (unsorted/packed device sort)")
+
                 # host winner pre-compaction: event kernel + scatter on
                 # ~winner-count lanes (make_winner_batch, presort_unique)
                 wb = fused.make_winner_batch(ev)
@@ -186,7 +212,7 @@ def main(argv=None):
                 if ok:
                     print(f"OK {geom} persp={persp} depth={depth_m} "
                           f"inliers={int(ref.num_inliers)} "
-                          f"(+packed +winners)")
+                          f"(+packed +unsorted +winners)")
                 else:
                     failures += 1
     if failures:

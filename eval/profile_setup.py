@@ -63,6 +63,16 @@ def main():
     jax.block_until_ready(jax.device_put(np.zeros(32 << 20, np.uint8), dev))
     out["first_32mb_put_s"] = round(time.perf_counter() - t0, 3)
 
+    # first DEVICE->HOST fetch: a distinct tunnel path the H2D warmups
+    # never exercise -- SETUP_r05 attributed a 216 s stall to the
+    # session's first D2H (the event-plan builder's np.asarray of a
+    # device LUT, since removed; this fence absorbs + measures the
+    # environment cost explicitly)
+    buf = jax.device_put(np.zeros(1 << 20, np.uint8), dev)
+    t0 = time.perf_counter()
+    np.asarray(buf)
+    out["first_1mb_get_s"] = round(time.perf_counter() - t0, 3)
+
     t0 = time.perf_counter()
     try:
         from jax.experimental import pallas as pl

@@ -41,6 +41,109 @@ def test_esl_search_matches_brute_force(rng, trial):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("trial", range(3))
+def test_esl_search_footprint_crop_bit_equal(rng, trial):
+    """The static row/col footprint crop must be invisible in the result
+    (every nonzero camera pixel inside the bounds; see
+    ops/pallas_esl.esl_disparity_search)."""
+    H, W = 48, 420 + 64 * trial
+    base = np.sort(rng.random((H, W)).astype(np.float32), axis=1)
+    mask = rng.random((H, W)) < 0.2
+    proj = np.where(mask, base + 1e-3, 0).astype(np.float32)
+    cam = np.zeros((H, W), np.float32)
+    # occupancy confined to an interior window (like a camera footprint),
+    # deliberately not tile-aligned
+    r0, r1, c0, c1 = 11, 37, 70, 260 + 40 * trial
+    blob = rng.random((r1 - r0, c1 - c0)).astype(np.float32)
+    cam[r0:r1, c0:c1] = np.where(blob < 0.4, blob, 0)
+    md = 150 + 50 * trial
+
+    full = np.asarray(
+        esl_disparity_search(cam, proj, min_disp=5, max_disp=md,
+                             interpret=True)
+    )
+    cropped = np.asarray(
+        esl_disparity_search(
+            cam, proj, min_disp=5, max_disp=md, interpret=True,
+            row_range=(r0, r1), col_range=(c0, c1),
+        )
+    )
+    np.testing.assert_array_equal(full, cropped)
+    assert full.any()  # the comparison is not vacuous
+
+
+def test_esl_device_depth_init_cropped_matches_dense(rng):
+    """The production pre-cropped per-scan program (remap -> search ->
+    back-gather, all on the footprint box; apps.eval_esl
+    build_device_depth_init) vs the dense full-surface oracle path."""
+    import jax
+    import jax.numpy as jnp
+
+    from xmaps_tpu.apps.eval_esl import (
+        build_device_depth_init,
+        disparity_init_dense,
+    )
+    from xmaps_tpu.calib.maps import CamProjMaps, remap_nearest
+    from xmaps_tpu.ops.pallas_esl import footprint_box
+    from xmaps_tpu.ops.pallas_remap import build_remap_indices
+    from xmaps_tpu.utils.synthetic import make_synthetic_calibration
+
+    calib = make_synthetic_calibration(
+        camera_width=64, camera_height=48,
+        projector_width=90, projector_height=160,
+        rectification_scale=3.0,
+    )
+    maps = CamProjMaps(calib, zero_undistort_proj_map=True)
+    proj_rect = maps.build_rectified_time_map(
+        scan_upwards=False, border_replicate=False
+    )
+    assert rows_monotone(proj_rect)
+    p03 = float(maps.P2[0, 3])
+
+    def remap_static_interp(src, yi, xi, out_shape):
+        from xmaps_tpu.ops.pallas_remap import remap_static
+
+        return remap_static(src, yi, xi, out_shape, interpret=True)
+
+    def search_interp(*a, **k):
+        from xmaps_tpu.ops.pallas_esl import esl_disparity_search
+
+        return esl_disparity_search(*a, interpret=True, **k)
+
+    dev_init = build_device_depth_init(
+        maps, calib, proj_rect, p03, jax, jnp,
+        build_remap_indices, remap_static_interp, search_interp,
+        footprint_box,
+    )
+    cam = np.where(
+        rng.random((48, 64)) < 0.8, rng.random((48, 64)), 0
+    ).astype(np.float32)
+    disp_cam, depth = (np.asarray(a) for a in dev_init(cam))
+
+    # dense oracle: full remap + dense search + full back-remap
+    cam_rect = remap_nearest(
+        cam, maps.camera_mapx, maps.camera_mapy, border_replicate=False
+    )
+    disp_rect = np.asarray(disparity_init_dense(cam_rect, proj_rect))
+    want = remap_nearest(
+        disp_rect, maps.disp_cam_mapx_f32, maps.disp_cam_mapy_f32,
+        border_replicate=False,
+    ).astype(np.float32)
+    np.testing.assert_array_equal(disp_cam, want)
+    assert disp_cam.any()
+
+
+def test_esl_search_empty_footprint():
+    cam = np.zeros((16, 256), np.float32)
+    proj = np.zeros((16, 256), np.float32)
+    out = np.asarray(
+        esl_disparity_search(
+            cam, proj, interpret=True, row_range=(0, 0), col_range=(0, 0)
+        )
+    )
+    np.testing.assert_array_equal(out, 0)
+
+
 def test_rows_monotone_detects_violation(rng):
     proj = np.zeros((4, 64), np.float32)
     proj[0, 10] = 0.5

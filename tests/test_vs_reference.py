@@ -491,3 +491,147 @@ def test_first_per_xy_winner_is_stream_first(rig):
         else:
             assert keep[i], f"lane {i} IS the first event of {px}"
             seen.add(px)
+
+
+# ---------------------------------------------------------------------------
+# Trigger finder (trigger_finder.py:91-189), against the reference's own
+# code with a minimal Metavision SDK shim (EventCDBuffer + the pool's
+# PolarityFilterAlgorithm.get_empty_output_buffer)
+# ---------------------------------------------------------------------------
+
+
+class _FakeEventCDBuffer:
+    def __init__(self, arr=None):
+        self._arr = arr if arr is not None else np.zeros(0, _EV_DTYPE)
+
+    def numpy(self):
+        return self._arr
+
+    def __len__(self):
+        return len(self._arr)
+
+
+_EV_DTYPE = np.dtype(
+    [("x", "<u2"), ("y", "<u2"), ("p", "<i2"), ("t", "<i8")]
+)
+
+
+class _FakePolarityFilter:
+    @staticmethod
+    def get_empty_output_buffer():
+        return _FakeEventCDBuffer()
+
+
+class _TfStats(_StatsShim):
+    def __init__(self):
+        self.counts = {}
+
+    def count(self, name):
+        self.counts[name] = self.counts.get(name, 0) + 1
+
+
+@pytest.fixture(scope="module")
+def ref_trigger_finder():
+    _install_numba_shim()
+    base = types.ModuleType("metavision_sdk_base")
+    base.EventCD = _EV_DTYPE
+    base.EventCDBuffer = _FakeEventCDBuffer
+    core = types.ModuleType("metavision_sdk_core")
+    core.PolarityFilterAlgorithm = _FakePolarityFilter
+    # the reference's stats_printer no longer imports on Python 3.12
+    # (mutable dataclass default); it is instrumentation, not the logic
+    # under test, so substitute the shim
+    stats_mod = types.ModuleType("stats_printer")
+    stats_mod.StatsPrinter = _TfStats
+    saved = {
+        k: sys.modules.get(k)
+        for k in (
+            "metavision_sdk_base", "metavision_sdk_core", "stats_printer"
+        )
+    }
+    sys.modules["metavision_sdk_base"] = base
+    sys.modules["metavision_sdk_core"] = core
+    sys.modules["stats_printer"] = stats_mod
+    sys.path.insert(0, str(REF))
+    try:
+        import event_buf_pool as ref_pool
+        import trigger_finder as ref_tf
+
+        yield types.SimpleNamespace(tf=ref_tf, pool=ref_pool)
+    finally:
+        sys.path.remove(str(REF))
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def _packet_stream(rig, n_frames=6, fps=60, rng_seed=2):
+    """Frame-shaped packets: bursts separated by blanking gaps, delivered
+    in T/4 arrival packets like the live pipe (depth_reprojection.py)."""
+    from xmaps_tpu.utils.synthetic import simulate_sequence
+
+    rng = np.random.default_rng(rng_seed)
+    evs = simulate_sequence(
+        rig.calib,
+        [0.5 + 0.01 * i for i in range(n_frames)],
+        fps=fps,
+        subsample=0.9,
+        rng=rng,
+    )
+    evs = evs.astype(_EV_DTYPE)
+    dt = 1e6 / fps / 4
+    t0 = evs["t"][0]
+    packets, start = [], 0
+    k = 1
+    for i in range(len(evs)):
+        if evs["t"][i] - t0 >= k * dt:
+            packets.append(evs[start:i])
+            start = i
+            k += 1
+    packets.append(evs[start:])
+    return [p for p in packets if len(p)]
+
+
+def test_trigger_finder_frames_bit_equal(rig, ref_trigger_finder):
+    from xmaps_tpu.runtime.trigger_finder import RobustTriggerFinder
+    from xmaps_tpu.utils.stats import StatsPrinter
+
+    packets = _packet_stream(rig)
+    assert len(packets) >= 12
+
+    ref_frames = []
+    pool = ref_trigger_finder.pool.EventBufPool()
+    ref = ref_trigger_finder.tf.RobustTriggerFinder(
+        projector_fps=60,
+        stats=_TfStats(),
+        frame_callback=lambda evs: ref_frames.append(np.array(evs)),
+        pool=pool,
+    )
+    mine_frames = []
+    mine = RobustTriggerFinder(
+        projector_fps=60,
+        stats=StatsPrinter(silent=True),
+        frame_callback=lambda evs: mine_frames.append(np.array(evs)),
+    )
+    for p in packets:
+        ref.process_events(_FakeEventCDBuffer(p))
+        mine.process_events(p)
+
+    # Documented deviation (runtime/trigger_finder.py find_trigger tail):
+    # when a scan finds fewer than two pauses, the reference pops the
+    # whole buffer and NEVER pushes it back (trigger_finder.py:148-189 --
+    # the for loop falls through to `return -1` after pop_all), silently
+    # dropping every buffered event.  On a clean 4-packets/frame stream
+    # this loses most frames to startup/phase luck (observed here: 1 of
+    # ~5 emitted).  xmaps_tpu keeps the tail from the last pause onward
+    # instead.  The boundary RULES are identical, so every frame the
+    # reference does emit must be bit-identical to one of ours.
+    assert len(mine_frames) >= 4, f"only {len(mine_frames)} frames"
+    assert 1 <= len(ref_frames) <= len(mine_frames)
+    mine_by_start = {int(f["t"][0]): f for f in mine_frames}
+    for a in ref_frames:
+        b = mine_by_start.get(int(a["t"][0]))
+        assert b is not None, f"reference frame at t={a['t'][0]} not emitted"
+        np.testing.assert_array_equal(a, b.astype(a.dtype))

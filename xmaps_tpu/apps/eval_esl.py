@@ -271,6 +271,80 @@ def normalize_scan(cam_image: np.ndarray) -> np.ndarray:
     return out.astype(np.float32)
 
 
+def build_device_depth_init(
+    maps, calib, proj_rect, p03, jax, jnp,
+    build_remap_indices, remap_static, esl_disparity_search, footprint_box,
+):
+    """The fully device-resident per-scan depth-init program, cropped to
+    the static camera footprint.
+
+    The camera occupies a few percent of the 3x-projector rect surface,
+    and that footprint is a pure function of the calibration: the
+    forward remap's in-bounds mask bounds every possibly-nonzero
+    cam_rect pixel, and the back-remap's target set bounds every rect
+    position the camera-view gather reads.  Cropping the WHOLE per-scan
+    path (remap -> binary search -> back-gather) to the union box is
+    bit-identical to the full-surface path (ops/pallas_esl.py; pinned in
+    tests/test_pallas_esl.py) and removes the dominant cost -- the remap
+    alone materialized 18.7 Mpx per scan at the ESL eval geometry.
+    """
+    H_r, W_r = calib.rect_image_height, calib.rect_image_width
+    yi_fwd, xi_fwd, inb_fwd = build_remap_indices(
+        maps.camera_mapx, maps.camera_mapy,
+        (calib.camera_height, calib.camera_width),
+    )
+    yi_b, xi_b, inb_b = build_remap_indices(
+        maps.disp_cam_mapx_f32, maps.disp_cam_mapy_f32, (H_r, W_r)
+    )
+    occ_rows = np.nonzero(inb_fwd.any(axis=1))[0]
+    occ_cols = np.nonzero(inb_fwd.any(axis=0))[0]
+    rb = yi_b[inb_b]
+    cb = xi_b[inb_b]
+    if len(occ_rows) == 0 and len(rb) == 0:
+        fp_rows = fp_cols = (0, 0)  # degenerate calibration
+    else:
+        lo_r = min(int(occ_rows[0]) if len(occ_rows) else 1 << 30,
+                   int(rb.min()) if len(rb) else 1 << 30)
+        hi_r = max(int(occ_rows[-1]) + 1 if len(occ_rows) else 0,
+                   int(rb.max()) + 1 if len(rb) else 0)
+        lo_c = min(int(occ_cols[0]) if len(occ_cols) else 1 << 30,
+                   int(cb.min()) if len(cb) else 1 << 30)
+        hi_c = max(int(occ_cols[-1]) + 1 if len(occ_cols) else 0,
+                   int(cb.max()) + 1 if len(cb) else 0)
+        fp_rows, fp_cols = (lo_r, hi_r), (lo_c, hi_c)
+    r0, r1, c0, c1 = footprint_box((H_r, W_r), fp_rows, fp_cols)
+    box_shape = (r1 - r0, c1 - c0)
+
+    # pre-crop the static inputs ONCE: forward remap indices (so the
+    # remap emits only the box), the projector ramp, and box-relative
+    # back-gather indices
+    yi_fwd = jnp.asarray(yi_fwd[r0:r1, c0:c1])
+    xi_fwd = jnp.asarray(xi_fwd[r0:r1, c0:c1])
+    proj_box = jnp.asarray(np.asarray(proj_rect)[r0:r1, c0:c1])
+    lin_box = jnp.asarray(
+        np.where(
+            inb_b,
+            (yi_b.astype(np.int64) - r0) * box_shape[1] + (xi_b - c0),
+            0,
+        ).astype(np.int32)
+    )
+    mask_b = jnp.asarray(inb_b)
+
+    @jax.jit
+    def device_depth_init(cam_norm_dev):
+        cam_box = remap_static(cam_norm_dev, yi_fwd, xi_fwd, box_shape)
+        disp_box = esl_disparity_search(
+            cam_box, proj_box,
+            row_range=fp_rows, col_range=fp_cols,
+            full_shape=(H_r, W_r), emit_crop=True,
+        )
+        disp_cam = jnp.where(mask_b, disp_box.reshape(-1)[lin_box], 0.0)
+        depth = jnp.where(disp_cam != 0, p03 / disp_cam, 0.0)
+        return disp_cam, depth
+
+    return device_depth_init
+
+
 def main(argv=None):
     from xmaps_tpu.utils.jaxenv import respect_jax_platforms
 
@@ -323,7 +397,10 @@ def main(argv=None):
         projector_height=args.proj_height,
         rectification_scale=3.0,
     )
-    maps = CamProjMaps(calib, zero_undistort_proj_map=True)
+    maps = CamProjMaps.build_cached(
+        calib, zero_undistort_proj_map=True,
+        cache_dir=os.path.expanduser("~/.cache/xmaps_tpu"),
+    )
 
     scan_files = sorted(glob.glob(os.path.join(args.object_dir, "scans_np", "*.npy")))
     if not scan_files:
@@ -356,32 +433,13 @@ def main(argv=None):
 
         from xmaps_tpu.ops.pallas_remap import build_remap_indices, remap_static
 
-        yi_fwd, xi_fwd, _ = build_remap_indices(
-            maps.camera_mapx, maps.camera_mapy,
-            (calib.camera_height, calib.camera_width),
-        )
-        yi_fwd, xi_fwd = jnp.asarray(yi_fwd), jnp.asarray(xi_fwd)
-        proj_dev = jnp.asarray(proj_rect)
-        # rect -> camera-view back-remap indices (small, XLA flat gather;
-        # same rounding/bounds as the forward maps via build_remap_indices)
-        H_r, W_r = rect_shape
-        yi_b, xi_b, inb_b = build_remap_indices(
-            maps.disp_cam_mapx_f32, maps.disp_cam_mapy_f32, (H_r, W_r)
-        )
-        lin_b = jnp.asarray(
-            np.where(
-                inb_b, yi_b.astype(np.int64) * W_r + xi_b, 0
-            ).astype(np.int32)
-        )
-        mask_b = jnp.asarray(inb_b)
+        from xmaps_tpu.ops.pallas_esl import footprint_box
 
-        @jax.jit
-        def device_depth_init(cam_norm_dev):
-            cam_rect = remap_static(cam_norm_dev, yi_fwd, xi_fwd, rect_shape)
-            disp_rect = esl_disparity_search(cam_rect, proj_dev)
-            disp_cam = jnp.where(mask_b, disp_rect.reshape(-1)[lin_b], 0.0)
-            depth = jnp.where(disp_cam != 0, p03 / disp_cam, 0.0)
-            return disp_cam, depth
+        device_depth_init = build_device_depth_init(
+            maps, calib, proj_rect, p03, jax, jnp,
+            build_remap_indices, remap_static, esl_disparity_search,
+            footprint_box,
+        )
 
     for i in range(args.start_scan, min(args.start_scan + args.num_scans, len(scan_files))):
         cam_raw = np.load(scan_files[i])

@@ -220,6 +220,67 @@ class CamProjMaps:
     disp_proj_mapx_i16: np.ndarray = field(init=False)
     disp_proj_mapy_i16: np.ndarray = field(init=False)
 
+    _ARRAY_FIELDS = (
+        "R1", "R2", "P1", "P2", "Q",
+        "camera_mapx", "camera_mapy", "projector_mapx", "projector_mapy",
+        "disp_cam_mapx_f32", "disp_cam_mapy_f32",
+        "disp_cam_mapx_i16", "disp_cam_mapy_i16",
+        "disp_proj_mapx_i16", "disp_proj_mapy_i16",
+    )
+
+    @staticmethod
+    def build_cached(
+        calib: CalibrationParams,
+        cam_is_left: bool = False,
+        zero_undistort_proj_map: bool = False,
+        cache_dir: "str | None" = None,
+    ) -> "CamProjMaps":
+        """Build with a disk cache keyed by the calibration.
+
+        The LUT build (stereo rectify + 5-iteration iterative undistort
+        over the full rect grid) is pure host NumPy and costs ~10-17 s at
+        the demonstrator rig -- the dominant WARM setup term
+        (SETUP_r05.json).  The maps are a pure function of the
+        calibration, so sessions reuse them like the X-map/tail-plan
+        caches (SURVEY §5 checkpoint/resume analog).
+        """
+        import hashlib
+        import os
+
+        if not cache_dir:
+            return CamProjMaps(calib, cam_is_left, zero_undistort_proj_map)
+        h = hashlib.sha256()
+        for a in (
+            calib.camera_K, calib.camera_D, calib.projector_K,
+            calib.projector_D, calib.cam2proj_R, calib.cam2proj_T,
+        ):
+            h.update(np.ascontiguousarray(np.asarray(a, np.float64)).tobytes())
+        h.update(
+            f"{calib.camera_width}|{calib.camera_height}|"
+            f"{calib.projector_width}|{calib.projector_height}|"
+            f"{calib.rect_image_width}|{calib.rect_image_height}|"
+            f"{cam_is_left}|{zero_undistort_proj_map}|v1".encode()
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        path = os.path.join(
+            cache_dir, f"camprojmaps_{h.hexdigest()[:24]}.npz"
+        )
+        if os.path.exists(path):
+            obj = object.__new__(CamProjMaps)
+            obj.calib = calib
+            obj.cam_is_left = cam_is_left
+            obj.zero_undistort_proj_map = zero_undistort_proj_map
+            with np.load(path) as z:
+                for name in CamProjMaps._ARRAY_FIELDS:
+                    setattr(obj, name, z[name])
+            return obj
+        maps = CamProjMaps(calib, cam_is_left, zero_undistort_proj_map)
+        np.savez(
+            path,
+            **{n: getattr(maps, n) for n in CamProjMaps._ARRAY_FIELDS},
+        )
+        return maps
+
     def __post_init__(self):
         calib = self.calib
         if self.cam_is_left:

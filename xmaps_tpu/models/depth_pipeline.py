@@ -308,8 +308,12 @@ class XMapsDepthEngine:
             z_far=z_far,
             camera_perspective=camera_perspective,
         )
-        maps = CamProjMaps(calib, zero_undistort_proj_map=zero_undistort_proj_map)
-        _mark("CamProjMaps (host calibration math)")
+        maps = CamProjMaps.build_cached(
+            calib,
+            zero_undistort_proj_map=zero_undistort_proj_map,
+            cache_dir=xmap_cache_dir,
+        )
+        _mark("CamProjMaps (host calibration math, disk-cached)")
 
         if projector_time_map_path is not None:
             # precalibrated rectified time map (reference proj_time_map.py:47-49)
@@ -361,18 +365,28 @@ class XMapsDepthEngine:
                 tables_fit_vmem,
             )
 
+            # Pack the camera LUT on the HOST for the plan builders:
+            # passing tables.cam_map_packed (a device array) made the
+            # builders' np.asarray the session's FIRST device->host
+            # fetch, which the tunneled runtime can stall on for minutes
+            # (SETUP_r05.json attributed 216 s of the ~236 s cold build
+            # to exactly this).  The H2D warmups never cover D2H.
+            cam_packed_np = (
+                (maps.disp_cam_mapy_i16.astype(np.int32) << 16)
+                | (maps.disp_cam_mapx_i16.astype(np.int32) & 0xFFFF)
+            )
             if event_capacity % BLOCK == 0:
                 if tables_fit_vmem(
                     (calib.camera_height, calib.camera_width), x_map_np.shape
                 ):
                     event_plan = build_event_gather_plan(
-                        tables.cam_map_packed, x_map_np
+                        cam_packed_np, x_map_np
                     )
                 else:
                     # large rigs (e.g. the ESL eval geometry's 26 MB
                     # X-map): stream X-map row bands from HBM per block
                     event_plan = build_event_gather_hbm_plan(
-                        tables.cam_map_packed, x_map_np
+                        cam_packed_np, x_map_np
                     )
 
         _mark("pallas plans built")
@@ -853,6 +867,10 @@ class XMapsDepthEngine:
         if presort:
             staged = [self.make_sorted_batch(ev) for ev in frames]
             runs = all(s.runs_ok for s in staged)
+            # jit sees plain pytrees only: SortedBatch is a tuple
+            # SUBCLASS (carrying the host-side runs_ok flag), which JAX
+            # treats as a leaf, not a container
+            staged = [tuple(s) for s in staged]
         else:
             runs = False
             staged = [

@@ -190,8 +190,31 @@ def _kernel(
     out_ref[:] = jnp.where(ok, best - c_idx, 0).astype(jnp.float32)
 
 
+def footprint_box(
+    full_shape: tuple,
+    row_range: tuple,
+    col_range: tuple,
+    max_disp: int = 900,
+) -> tuple:
+    """Tile-aligned crop box (r0, r1, c0, c1) the search actually
+    computes for the given camera-footprint bounds: rows quantized down
+    to the sublane tiling, columns widened on the right by the disparity
+    window.  Callers that pre-crop their inputs (remap emits only the
+    box; see apps.eval_esl) must use exactly this box."""
+    H, W = full_shape
+    r0 = max((int(row_range[0]) // 8) * 8, 0)
+    r1 = min(int(row_range[1]), H)
+    c0 = max((int(col_range[0]) // 128) * 128, 0)
+    c1 = min(int(col_range[1]) + max_disp, W)
+    return r0, r1, c0, c1
+
+
 @functools.partial(
-    jax.jit, static_argnames=("min_disp", "max_disp", "interpret")
+    jax.jit,
+    static_argnames=(
+        "min_disp", "max_disp", "interpret", "row_range", "col_range",
+        "full_shape", "emit_crop",
+    ),
 )
 def esl_disparity_search(
     cam_rect,
@@ -199,9 +222,35 @@ def esl_disparity_search(
     min_disp: int = 5,
     max_disp: int = 900,
     interpret: bool = False,
+    row_range: tuple | None = None,
+    col_range: tuple | None = None,
+    full_shape: tuple | None = None,
+    emit_crop: bool = False,
 ):
     """Binary-search ESL-init disparity over monotone rows (see module
-    docstring).  cam_rect/proj_rect: (H, W) float32; returns (H, W) f32."""
+    docstring).  cam_rect/proj_rect: (H, W) float32; returns (H, W) f32.
+
+    ``row_range`` / ``col_range``: static (lo, hi) bounds containing
+    EVERY possibly-nonzero camera pixel of cam_rect (e.g. from the
+    forward remap's in-bounds mask, a pure function of the calibration
+    -- apps.eval_esl).  The search then runs only on that crop, padded
+    to tile boundaries and widened by the disparity window on the right.
+    Bit-identical to the full search: zero camera pixels produce zero
+    output by definition (the acceptance test requires cam != 0), every
+    in-crop window is fully resident (cols reach at most c + max_disp
+    <= col_hi + max_disp), and the kernel's C-count/F/R prefix scans are
+    only ever consumed as in-window differences (never absolute), so the
+    missing left-of-crop history cancels.  At the ESL eval geometry the
+    camera footprint covers a few percent of the rect surface, so this
+    is an order-of-magnitude cut.
+
+    ``full_shape``: pass the full rect (H, W) when cam_rect/proj_rect are
+    ALREADY cropped to :func:`footprint_box` of (row_range, col_range) --
+    the per-scan remap then never materializes the empty remainder of
+    the rect surface (apps.eval_esl pre-crops its remap indices once).
+    ``emit_crop`` returns just the box instead of pasting it into a
+    full-size zero map (callers gathering through box-relative indices).
+    """
     # gather_row reaches at most MAX_GO*128-127 lanes right of a pixel,
     # and the cnt gather at lo-1 must stay right of the pixel's group
     assert 1 <= min_disp and max_disp <= MAX_GO * 128 - 127, (
@@ -209,14 +258,50 @@ def esl_disparity_search(
     )
     cam = jnp.asarray(cam_rect, jnp.float32)
     proj = jnp.asarray(proj_rect, jnp.float32)
-    H, W = cam.shape
-    H_pad = _round_up(H, 8)
-    W_pad = _round_up(W, 128)
+    if full_shape is not None:
+        assert row_range is not None and col_range is not None
+        H, W = full_shape
+        r0, r1, c0, c1 = footprint_box(
+            full_shape, row_range, col_range, max_disp
+        )
+        assert cam.shape == proj.shape == (r1 - r0, c1 - c0), (
+            f"pre-cropped inputs {cam.shape} do not match footprint_box "
+            f"{(r1 - r0, c1 - c0)}"
+        )
+        pre_cropped = True
+    else:
+        H, W = cam.shape
+        if row_range is None:
+            r0, r1 = 0, H
+        else:
+            r0 = max((int(row_range[0]) // 8) * 8, 0)
+            r1 = min(int(row_range[1]), H)
+        if col_range is None:
+            c0, c1 = 0, W
+        else:
+            c0 = max((int(col_range[0]) // 128) * 128, 0)
+            # windows from the last occupied column reach max_disp right
+            c1 = min(int(col_range[1]) + max_disp, W)
+        pre_cropped = False
+    if r1 <= r0 or c1 <= c0:
+        if emit_crop:
+            return jnp.zeros((max(r1 - r0, 0), max(c1 - c0, 0)), jnp.float32)
+        return jnp.zeros((H, W), jnp.float32)
+
+    if not pre_cropped:
+        cam = cam[r0:r1, c0:c1]
+        proj = proj[r0:r1, c0:c1]
+    Hc, Wc = r1 - r0, c1 - c0
+    # local width of REAL data (absolute W in crop coordinates): windows
+    # clip at it and pixels beyond it are invalid, exactly as before
+    W_loc = W - c0
+    H_pad = _round_up(Hc, 8)
+    W_pad = _round_up(Wc, 128)
 
     def pad(a, fill=0):
         return jnp.pad(
             a,
-            ((0, H_pad - H), (0, W_pad - W)),
+            ((0, H_pad - Hc), (0, W_pad - Wc)),
             constant_values=fill,
         )
 
@@ -227,7 +312,7 @@ def esl_disparity_search(
     steps = int(np.ceil(np.log2(max_disp - min_disp))) + 1
     kernel = functools.partial(
         _kernel,
-        W=W,
+        W=min(W_loc, W_pad),
         W_pad=W_pad,
         min_disp=min_disp,
         max_disp=max_disp,
@@ -242,4 +327,8 @@ def esl_disparity_search(
         out_shape=jax.ShapeDtypeStruct((H_pad, W_pad), jnp.float32),
         interpret=interpret,
     )(cam_p, G, F, N, R, C)
-    return out[:H, :W]
+    out = out[: min(Hc, H - r0), : min(Wc, W - c0)]
+    if emit_crop or (row_range is None and col_range is None):
+        return out
+    full = jnp.zeros((H, W), jnp.float32)
+    return jax.lax.dynamic_update_slice(full, out, (r0, c0))
