@@ -635,3 +635,41 @@ def test_trigger_finder_frames_bit_equal(rig, ref_trigger_finder):
         b = mine_by_start.get(int(a["t"][0]))
         assert b is not None, f"reference frame at t={a['t'][0]} not emitted"
         np.testing.assert_array_equal(a, b.astype(a.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Biases (biases.py:1-76) -- pure-stdlib module, imported directly
+# ---------------------------------------------------------------------------
+
+
+def test_biases_differential(tmp_path):
+    sys.path.insert(0, str(REF))
+    try:
+        import biases as ref_biases
+    finally:
+        sys.path.remove(str(REF))
+    from xmaps_tpu.io import biases as my_biases
+
+    bias_file = tmp_path / "cam.bias"
+    bias_file.write_text(
+        "300   % bias_diff\n225 % bias_diff_off\n"
+        "  1700 % bias_refr\n\n% comment only\n"
+    )
+    ref_loaded = ref_biases.load_bias_file(str(bias_file))
+    my_loaded = my_biases.load_bias_file(str(bias_file))
+    assert ref_loaded == my_loaded
+
+    rb = ref_biases.Biases()
+    mb = my_biases.Biases()
+    assert rb.biases == mb.biases
+    assert rb.biases_limits == mb.biases_limits
+    # drive the same interaction sequence through both: cycle + clamped
+    # inc/dec at every bias
+    rng = np.random.default_rng(0)
+    for step in rng.integers(1, 400, 50):
+        assert rb.cycle_current_bias() == mb.cycle_current_bias()
+        assert rb.increase_current(int(step)) == mb.increase_current(int(step))
+        assert rb.decrease_current(int(step * 2)) == mb.decrease_current(
+            int(step * 2)
+        )
+    assert rb.biases == mb.biases
