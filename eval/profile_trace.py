@@ -173,6 +173,8 @@ def main():
     by_base = defaultdict(float)
     base_cnt = defaultdict(int)
     bucket_cnt = defaultdict(int)
+    bucket_by_base = {}
+    long_by_base = {}
     module_us = 0.0
     shape_re = re.compile(r"=\s*\(?(\w+)\[([\d,]*)\]")
 
@@ -220,6 +222,8 @@ def main():
         by_base[base] += dur
         base_cnt[base] += 1
         bucket_cnt[bucket] += 1
+        bucket_by_base[base] = bucket
+        long_by_base.setdefault(base, long_name)
 
     ops_total = sum(buckets.values())
     # Sanity-check the classification against the program's known
@@ -247,6 +251,20 @@ def main():
             f">= 1) -- the packed-map scatter fusion was not identified",
             file=sys.stderr,
         )
+    if not classify_ok:
+        # Show exactly which ops landed in the kernel buckets so a
+        # misclassification can be diagnosed from the artifact alone.
+        print("# custom-call / kernel-bucket ops by base name:",
+              file=sys.stderr)
+        for base, cnt in sorted(base_cnt.items()):
+            if bucket_by_base.get(base) in ("event_kernel", "tail_kernel",
+                                            "scatter"):
+                print(
+                    f"#   {bucket_by_base[base]:12s} x{cnt:4d} "
+                    f"{by_base[base] / frames:8.1f} us/frame  {base[:60]}  "
+                    f"{long_by_base.get(base, '')[:120]}",
+                    file=sys.stderr,
+                )
     print(f"# surface: {'full' if args.full else 'stream'}"
           f"{' (unpacked)' if args.display_only else ''}, "
           f"geometry={args.geometry}, {n_group} frames/group x {runs} runs")
