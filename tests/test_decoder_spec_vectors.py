@@ -215,3 +215,35 @@ def test_header_dialects(tmp_path):
         f.write(raw2)
     out = np.concatenate(list(EvtDecoder(p2)))
     assert len(out) == 1 and out[0]["t"] == (1 << 6) | 3
+
+
+def test_native_lib_path_tracks_source_hash(monkeypatch, tmp_path):
+    """The committed prebuilt .so can never shadow stale source: the load
+    path embeds sha256(evt_decoder.cpp), so (a) the in-tree artifact's
+    name must match the CURRENT source hash, and (b) any source change
+    resolves to a different path (forcing a rebuild or NumPy fallback)."""
+    import hashlib
+    import os
+
+    from xmaps_tpu.io import evt_decoder as mod
+
+    src = mod._CSRC
+    assert os.path.exists(src)
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    path = mod._lib_path()
+    assert path is not None and path.endswith(f"libevt_decoder-{digest}.so")
+    committed = [
+        n for n in os.listdir(os.path.dirname(path)) if n.endswith(".so")
+    ]
+    assert committed == [os.path.basename(path)], (
+        "in-tree prebuilt .so does not match the current csrc hash -- "
+        "rebuild and recommit (make -C csrc) or delete it"
+    )
+
+    # a one-byte source change must resolve to a DIFFERENT artifact path
+    altered = tmp_path / "evt_decoder.cpp"
+    with open(src, "rb") as f:
+        altered.write_bytes(f.read() + b"\n// touched\n")
+    monkeypatch.setattr(mod, "_CSRC", str(altered))
+    assert mod._lib_path() != path

@@ -39,9 +39,16 @@ _lib_tried = False
 def _lib_path() -> Optional[str]:
     """Build-artifact path, keyed by source content hash.
 
-    The .so is built on first use (never committed); hashing the source
-    makes staleness detection exact — mtimes are unreliable after a git
+    The .so is built on first use; a prebuilt artifact for the CURRENT
+    source hash may be committed as a build cache (toolchain-free
+    installs).  Because the load path embeds sha256(evt_decoder.cpp), a
+    stale committed artifact can never shadow changed source: its file
+    name no longer matches, so it is simply ignored and a fresh build
+    (or the NumPy fallback) takes over.  Hashing the source makes
+    staleness detection exact — mtimes are unreliable after a git
     checkout, which stamps .cpp and any stale artifact identically.
+    Tested: tests/test_decoder_spec_vectors.py
+    ::test_native_lib_path_tracks_source_hash.
     """
     if not os.path.exists(_CSRC):
         return None
