@@ -92,6 +92,19 @@ def test_runs_matches_max_oracle(seed, window):
         ys, xs, disp, inlier, method="runs", run_keys=(ys, xs), **kw
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # split_stores is an identity transform (optimization_barrier only);
+    # the default (None) resolves to True for "runs", False otherwise --
+    # pin both explicit states bit-equal for both methods
+    for method, extra in (
+        ("runs", dict(run_keys=(ys, xs))),
+        ("sorted", {}),
+    ):
+        for split_stores in (True, False):
+            split = scatter_disp_packed(
+                ys, xs, disp, inlier, method=method,
+                split_stores=split_stores, **extra, **kw,
+            )
+            np.testing.assert_array_equal(np.asarray(split), np.asarray(ref))
 
 
 def test_runs_all_reject_run():

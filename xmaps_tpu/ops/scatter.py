@@ -45,6 +45,7 @@ def scatter_disp_packed(
     method: str = "max",
     window: tuple[int, int, int, int] | None = None,
     run_keys: tuple[jax.Array, jax.Array] | None = None,
+    split_stores: bool | None = None,
 ) -> jax.Array:
     """Scatter index-packed disparities; returns the packed uint32 map.
 
@@ -76,6 +77,14 @@ def scatter_disp_packed(
       pixel and is that pixel's winner (host-compacted winner batches,
       models.depth_pipeline.make_winner_batch): one bare unique-indices
       scatter-set over the batch, nothing else.
+
+    ``split_stores``: materialize the scatter's index/value operands
+    behind jax.lax.optimization_barrier so XLA cannot fuse the winner
+    detection / packing selects into the serialized store loop (an
+    identity transform -- results are bit-equal).  Measured on TPU v5e
+    at the ESL tail-plan shapes (eval/bench_scatter_variants.py): runs
+    123.4 -> 119.1 us/frame, sorted 146.5 -> 152.8 (worse).  Default
+    (None) therefore resolves to True for method="runs" only.
     - "runs": like "sorted" but WITHOUT the device sort (~26 us at 28k):
       the caller guarantees that lanes targeting the same pixel are
       already CONTIGUOUS (the host sorted the batch by the scatter
@@ -101,6 +110,8 @@ def scatter_disp_packed(
     """
     n = ys.shape[0]
     assert method in ("max", "sorted", "runs", "set"), method
+    if split_stores is None:
+        split_stores = method == "runs"
     if window is not None:
         # Scatter into a CROP of the logical (height, width) frame: the
         # map covers rows [oy, oy+wh) x cols [ox, ox+ww); targets outside
@@ -145,15 +156,20 @@ def scatter_disp_packed(
     # geometry's 73 MB map -- measured via device trace, round 3).
     lin = jnp.where(ok, ysc * out_w + xsc, out_h * out_w)
     out = jnp.zeros((out_h, out_w), dtype=jnp.uint32)
+
+    def _set(tgt, vals):
+        r, c = tgt // out_w, tgt % out_w
+        if split_stores:
+            r, c, vals = jax.lax.optimization_barrier((r, c, vals))
+        return out.at[r, c].set(vals, mode="drop", unique_indices=True)
+
     if method == "set":
         # Host-compacted winner batch (models.depth_pipeline
         # .make_winner_batch): every kept lane already targets a DISTINCT
         # pixel and IS that pixel's winner, so this is a bare
         # unique-indices set -- no device sort, no winner detection.
         # Masked lanes were routed out of bounds by ``lin`` above.
-        return out.at[lin // out_w, lin % out_w].set(
-            packed, mode="drop", unique_indices=True
-        )
+        return _set(lin, packed)
     if method == "runs":
         assert run_keys is not None, "method='runs' requires run_keys"
         ky, kx = run_keys
@@ -171,9 +187,7 @@ def scatter_disp_packed(
             boundary | (jnp.roll(packed, -1) == jnp.uint32(0))
         )
         tgt = jnp.where(win, lin, out_h * out_w)
-        return out.at[tgt // out_w, tgt % out_w].set(
-            packed, mode="drop", unique_indices=True
-        )
+        return _set(tgt, packed)
     if method == "sorted":
         lin_s, packed_s = jax.lax.sort((lin, packed), num_keys=2)
         is_win = jnp.concatenate(
@@ -181,9 +195,7 @@ def scatter_disp_packed(
         ) & (lin_s < out_h * out_w)
         tgt = jnp.where(is_win, lin_s, out_h * out_w)
         # sentinel rows land at out_h (out of bounds) and are dropped
-        return out.at[tgt // out_w, tgt % out_w].set(
-            packed_s, mode="drop", unique_indices=True
-        )
+        return _set(tgt, packed_s)
     return out.at[lin // out_w, lin % out_w].max(packed, mode="drop")
 
 
