@@ -44,25 +44,30 @@ def main():
     )
 
     # Backend init retries: the tunneled TPU intermittently drops
-    # ("Unable to initialize backend 'axon'", BENCH_r03.json).  A bounded
-    # retry turns a transient outage into a delayed number instead of a
-    # failed artifact.
+    # ("Unable to initialize backend 'axon'", BENCH_r03.json) and has
+    # taken 12+ min to reconnect (tunnel_connect_s 731, round 5).  A
+    # bounded exponential backoff (~15 min total) turns a transient
+    # outage into a delayed number instead of a failed artifact.
     dev = None
     last_err = None
-    for attempt in range(3):
+    sleeps = (30, 60, 120, 240, 480)
+    for attempt in range(len(sleeps) + 1):
         try:
             dev = jax.devices()[0]
             break
         except Exception as e:  # backend init failure, incl. RuntimeError
             last_err = e
             print(
-                f"# device init attempt {attempt + 1}/3 failed: {e}",
+                f"# device init attempt {attempt + 1}/{len(sleeps) + 1} "
+                f"failed: {e}",
                 flush=True,
             )
-            if attempt < 2:
-                time.sleep(30)
+            if attempt < len(sleeps):
+                time.sleep(sleeps[attempt])
     if dev is None:
-        raise SystemExit(f"device init failed after 3 attempts: {last_err}")
+        raise SystemExit(
+            f"device init failed after {len(sleeps) + 1} attempts: {last_err}"
+        )
 
     # First device contact can block for minutes while the shared tunnel
     # reclaims a previous client's resources; absorb that here so it is

@@ -82,9 +82,13 @@ def scatter_disp_packed(
     behind jax.lax.optimization_barrier so XLA cannot fuse the winner
     detection / packing selects into the serialized store loop (an
     identity transform -- results are bit-equal).  Measured on TPU v5e
-    at the ESL tail-plan shapes (eval/bench_scatter_variants.py): runs
-    123.4 -> 119.1 us/frame, sorted 146.5 -> 152.8 (worse).  Default
-    (None) therefore resolves to True for method="runs" only.
+    at the ESL tail-plan shapes: in an ISOLATED scatter program it wins
+    on the runs path (123.4 -> 119.1 us/frame; sorted 146.5 -> 152.8,
+    worse -- eval/bench_scatter_variants.py), but in the PRODUCTION
+    frame program the scatter fusion is unchanged to 0.1 us (133.8 us,
+    device trace pre/post) -- XLA already materializes the operands
+    there (num_inliers consumes ``ok``), so the barrier only reshuffles
+    cheap elementwise fusions.  Default (None) resolves to False.
     - "runs": like "sorted" but WITHOUT the device sort (~26 us at 28k):
       the caller guarantees that lanes targeting the same pixel are
       already CONTIGUOUS (the host sorted the batch by the scatter
@@ -111,7 +115,7 @@ def scatter_disp_packed(
     n = ys.shape[0]
     assert method in ("max", "sorted", "runs", "set"), method
     if split_stores is None:
-        split_stores = method == "runs"
+        split_stores = False
     if window is not None:
         # Scatter into a CROP of the logical (height, width) frame: the
         # map covers rows [oy, oy+wh) x cols [ox, ox+ww); targets outside
