@@ -35,7 +35,11 @@ def main():
     )
     from xmaps_tpu.calib.maps import CalibrationParams, CamProjMaps
     from xmaps_tpu.ops.pallas_esl import esl_disparity_search, rows_monotone
-    from xmaps_tpu.ops.pallas_remap import build_remap_indices, remap_static
+    from xmaps_tpu.ops.pallas_remap import (
+        build_remap_indices,
+        remap_banded_hbm,
+        remap_static,
+    )
 
     # ESL_calib_hhi.yaml is in the X-maps dialect; apply from_esl_yaml's
     # rect sizing (3x the projector dims) on top of it
@@ -66,7 +70,7 @@ def main():
     cropped_init = build_device_depth_init(
         maps, calib, proj_rect, p03, jax, jnp,
         build_remap_indices, remap_static, esl_disparity_search,
-        footprint_box,
+        footprint_box, remap_banded_hbm=remap_banded_hbm,
     )
 
     # the round-4 full-surface program, for the comparison row

@@ -100,25 +100,24 @@ def test_esl_device_depth_init_cropped_matches_dense(rng):
     assert rows_monotone(proj_rect)
     p03 = float(maps.P2[0, 3])
 
-    def remap_static_interp(src, yi, xi, out_shape):
+    def remap_static_interp(src, yi, xi, out_shape, **kw):
         from xmaps_tpu.ops.pallas_remap import remap_static
 
-        return remap_static(src, yi, xi, out_shape, interpret=True)
+        return remap_static(src, yi, xi, out_shape, interpret=True, **kw)
 
     def search_interp(*a, **k):
         from xmaps_tpu.ops.pallas_esl import esl_disparity_search
 
         return esl_disparity_search(*a, interpret=True, **k)
 
-    dev_init = build_device_depth_init(
-        maps, calib, proj_rect, p03, jax, jnp,
-        build_remap_indices, remap_static_interp, search_interp,
-        footprint_box,
-    )
+    def remap_banded_interp(src, yi, xi, inb, out_shape):
+        from xmaps_tpu.ops.pallas_remap import remap_banded_hbm
+
+        return remap_banded_hbm(src, yi, xi, inb, out_shape, interpret=True)
+
     cam = np.where(
         rng.random((48, 64)) < 0.8, rng.random((48, 64)), 0
     ).astype(np.float32)
-    disp_cam, depth = (np.asarray(a) for a in dev_init(cam))
 
     # dense oracle: full remap + dense search + full back-remap
     cam_rect = remap_nearest(
@@ -129,8 +128,18 @@ def test_esl_device_depth_init_cropped_matches_dense(rng):
         disp_rect, maps.disp_cam_mapx_f32, maps.disp_cam_mapy_f32,
         border_replicate=False,
     ).astype(np.float32)
-    np.testing.assert_array_equal(disp_cam, want)
-    assert disp_cam.any()
+
+    # both back-remap variants: XLA flat gather and the HBM-banded
+    # Pallas remap over the search kernel's padded output
+    for banded in (None, remap_banded_interp):
+        dev_init = build_device_depth_init(
+            maps, calib, proj_rect, p03, jax, jnp,
+            build_remap_indices, remap_static_interp, search_interp,
+            footprint_box, remap_banded_hbm=banded,
+        )
+        disp_cam, depth = (np.asarray(a) for a in dev_init(cam))
+        np.testing.assert_array_equal(disp_cam, want)
+        assert disp_cam.any()
 
 
 def test_esl_search_empty_footprint():
@@ -163,4 +172,64 @@ def test_remap_static_matches_remap_nearest(rng):
     yi, xi, inb = build_remap_indices(map_x, map_y, (Hs, Ws))
     assert inb.any() and not inb.all()  # exercises the OOB zero column
     got = np.asarray(remap_static(src, yi, xi, (H, W), interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def _smooth_maps(rng, out_shape, src_shape, margin=2.0):
+    """Smooth (rectification-like) float maps: affine + small ripple,
+    slightly overshooting the source so OOB lanes exist."""
+    H, W = out_shape
+    Hs, Ws = src_shape
+    jj, ii = np.meshgrid(np.arange(W), np.arange(H))
+    map_x = (jj + 0.5) * (Ws + margin) / W - 1.0 + 0.8 * np.sin(ii / 17.0)
+    map_y = (ii + 0.5) * (Hs + margin) / H - 1.0 + 0.8 * np.cos(jj / 23.0)
+    return map_x.astype(np.float32), map_y.astype(np.float32)
+
+
+def test_remap_static_col_span_bit_equal(rng):
+    """The host-derived column-span window (auto for concrete maps) is an
+    identity transform vs the full column walk."""
+    Hs, Ws = 40, 512
+    H, W = 96, 640
+    src = rng.random((Hs, Ws)).astype(np.float32)
+    map_x, map_y = _smooth_maps(rng, (H, W), (Hs, Ws))
+    yi, xi, inb = build_remap_indices(map_x, map_y, (Hs, Ws))
+    assert inb.any() and not inb.all()
+    want = remap_nearest(src, map_x, map_y, border_replicate=False)
+    from xmaps_tpu.ops.pallas_remap import _block_col_span, _pad_indices
+
+    auto_span = _block_col_span(
+        np.asarray(_pad_indices(yi, xi, (H, W), pad_col=Ws)[1])
+    )
+    assert auto_span < (Ws + 128) // 128 + 1  # the window is real
+    for span in (None, auto_span, auto_span + 1, 99):
+        got = np.asarray(
+            remap_static(src, yi, xi, (H, W), interpret=True, col_span=span)
+        )
+        np.testing.assert_array_equal(got, want)
+    # the inb variant (OOB lanes borrow nearest valid indices, masked
+    # output) must match remap_nearest too, with a tighter auto span
+    got = np.asarray(
+        remap_static(src, yi, xi, (H, W), interpret=True, inb=inb)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_remap_banded_hbm_matches_oracle(rng, trial):
+    """HBM-banded large-source remap vs where(inb, src[yi, xi], 0)."""
+    from xmaps_tpu.ops.pallas_remap import remap_banded_hbm
+
+    Hs, Ws = 8 * (20 + 4 * trial), 128 * (3 + trial)
+    H, W = 56, 200 + 50 * trial
+    src = rng.random((Hs, Ws)).astype(np.float32)
+    map_x, map_y = _smooth_maps(rng, (H, W), (Hs, Ws))
+    yi, xi, inb = build_remap_indices(map_x, map_y, (Hs, Ws))
+    assert inb.any() and not inb.all()
+    yi_c = np.clip(yi, 0, Hs - 1)
+    xi_c = np.clip(xi, 0, Ws - 1)
+    want = np.where(inb, src[yi_c, xi_c], 0).astype(np.float32)
+    got = np.asarray(
+        remap_banded_hbm(src, yi, xi, inb, (H, W), interpret=True)
+    )
     np.testing.assert_array_equal(got, want)

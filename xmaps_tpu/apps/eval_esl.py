@@ -274,6 +274,7 @@ def normalize_scan(cam_image: np.ndarray) -> np.ndarray:
 def build_device_depth_init(
     maps, calib, proj_rect, p03, jax, jnp,
     build_remap_indices, remap_static, esl_disparity_search, footprint_box,
+    remap_banded_hbm=None,
 ):
     """The fully device-resident per-scan depth-init program, cropped to
     the static camera footprint.
@@ -287,6 +288,18 @@ def build_device_depth_init(
     bit-identical to the full-surface path (ops/pallas_esl.py; pinned in
     tests/test_pallas_esl.py) and removes the dominant cost -- the remap
     alone materialized 18.7 Mpx per scan at the ESL eval geometry.
+
+    ``remap_banded_hbm`` (ops.pallas_remap): when given AND viable
+    (banded_hbm_viable), the back-remap (disp_box -> camera view) runs
+    as the HBM-banded Pallas remap over the search kernel's PADDED
+    output instead of XLA's serialized flat gather.  At the ESL eval
+    geometry the back-remap's rotation (~2.5 source rows per lane)
+    fails the viability check, so the production path keeps the XLA
+    gather with an optimization barrier; the combined round-5 change
+    (col-span windowed forward remap + barrier) measured 11.87 ->
+    9.75 ms/scan on TPU (eval/profile_esl_init.py attribution:
+    forward remap 5.82 -> 3.93, XLA-fusion bucket 2.53 -> 2.19).
+    Bit-identical either way.
     """
     H_r, W_r = calib.rect_image_height, calib.rect_image_width
     yi_fwd, xi_fwd, inb_fwd = build_remap_indices(
@@ -318,6 +331,7 @@ def build_device_depth_init(
     # pre-crop the static inputs ONCE: forward remap indices (so the
     # remap emits only the box), the projector ramp, and box-relative
     # back-gather indices
+    inb_fwd_box = np.asarray(inb_fwd[r0:r1, c0:c1])
     yi_fwd = jnp.asarray(yi_fwd[r0:r1, c0:c1])
     xi_fwd = jnp.asarray(xi_fwd[r0:r1, c0:c1])
     proj_box = jnp.asarray(np.asarray(proj_rect)[r0:r1, c0:c1])
@@ -330,15 +344,62 @@ def build_device_depth_init(
     )
     mask_b = jnp.asarray(inb_b)
 
+    use_banded = False
+    if remap_banded_hbm is not None:
+        # box-relative back-remap indices for the banded Pallas gather
+        # (consumes the search kernel's PADDED output directly)
+        from xmaps_tpu.ops.pallas_esl import _round_up
+        from xmaps_tpu.ops.pallas_remap import banded_hbm_viable
+
+        yi_rel = np.asarray(yi_b, np.int64) - r0
+        xi_rel = np.asarray(xi_b, np.int64) - c0
+        pad_shape = (
+            _round_up(r1 - r0, 8), _round_up(c1 - c0, 128)
+        )
+        cam_shape = (calib.camera_height, calib.camera_width)
+        # steeply rotated back-remaps (ESL: ~2.5 source rows per lane)
+        # need full-surface bands that cannot fit VMEM; fall back to the
+        # XLA gather there
+        use_banded = banded_hbm_viable(
+            pad_shape, yi_rel, xi_rel, inb_b, cam_shape
+        )
+
+    if use_banded:
+
+        @jax.jit
+        def device_depth_init(cam_norm_dev):
+            cam_box = remap_static(cam_norm_dev, yi_fwd, xi_fwd, box_shape,
+                                   inb=inb_fwd_box)
+            disp_pad = esl_disparity_search(
+                cam_box, proj_box,
+                row_range=fp_rows, col_range=fp_cols,
+                full_shape=(H_r, W_r), emit_crop=True, emit_padded=True,
+            )
+            disp_cam = remap_banded_hbm(
+                disp_pad, yi_rel, xi_rel, inb_b, cam_shape
+            )
+            depth = jnp.where(disp_cam != 0, p03 / disp_cam, 0.0)
+            return disp_cam, depth
+
+        return device_depth_init
+
     @jax.jit
     def device_depth_init(cam_norm_dev):
-        cam_box = remap_static(cam_norm_dev, yi_fwd, xi_fwd, box_shape)
+        cam_box = remap_static(cam_norm_dev, yi_fwd, xi_fwd, box_shape,
+                               inb=inb_fwd_box)
         disp_box = esl_disparity_search(
             cam_box, proj_box,
             row_range=fp_rows, col_range=fp_cols,
             full_shape=(H_r, W_r), emit_crop=True,
         )
-        disp_cam = jnp.where(mask_b, disp_box.reshape(-1)[lin_box], 0.0)
+        # materialize the serialized flat gather ONCE behind a barrier
+        # so XLA cannot rematerialize it per consumer (disp and depth
+        # both read it); measured with the col-span remap change as
+        # fusion bucket 2.53 -> 2.19 ms/scan (eval/profile_esl_init.py)
+        gathered = jax.lax.optimization_barrier(
+            disp_box.reshape(-1)[lin_box]
+        )
+        disp_cam = jnp.where(mask_b, gathered, 0.0)
         depth = jnp.where(disp_cam != 0, p03 / disp_cam, 0.0)
         return disp_cam, depth
 
@@ -431,14 +492,18 @@ def main(argv=None):
     if use_fast:
         import jax.numpy as jnp
 
-        from xmaps_tpu.ops.pallas_remap import build_remap_indices, remap_static
+        from xmaps_tpu.ops.pallas_remap import (
+            build_remap_indices,
+            remap_banded_hbm,
+            remap_static,
+        )
 
         from xmaps_tpu.ops.pallas_esl import footprint_box
 
         device_depth_init = build_device_depth_init(
             maps, calib, proj_rect, p03, jax, jnp,
             build_remap_indices, remap_static, esl_disparity_search,
-            footprint_box,
+            footprint_box, remap_banded_hbm=remap_banded_hbm,
         )
 
     for i in range(args.start_scan, min(args.start_scan + args.num_scans, len(scan_files))):

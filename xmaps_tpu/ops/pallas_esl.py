@@ -213,7 +213,7 @@ def footprint_box(
     jax.jit,
     static_argnames=(
         "min_disp", "max_disp", "interpret", "row_range", "col_range",
-        "full_shape", "emit_crop",
+        "full_shape", "emit_crop", "emit_padded",
     ),
 )
 def esl_disparity_search(
@@ -226,6 +226,7 @@ def esl_disparity_search(
     col_range: tuple | None = None,
     full_shape: tuple | None = None,
     emit_crop: bool = False,
+    emit_padded: bool = False,
 ):
     """Binary-search ESL-init disparity over monotone rows (see module
     docstring).  cam_rect/proj_rect: (H, W) float32; returns (H, W) f32.
@@ -250,6 +251,11 @@ def esl_disparity_search(
     the rect surface (apps.eval_esl pre-crops its remap indices once).
     ``emit_crop`` returns just the box instead of pasting it into a
     full-size zero map (callers gathering through box-relative indices).
+    ``emit_padded`` (implies emit_crop) returns the kernel's tile-padded
+    (H_pad, W_pad) output uncropped -- padded rows/cols are zero (their
+    camera pixels are zero-padding, which the acceptance test rejects)
+    -- so a downstream banded consumer (ops.pallas_remap
+    .remap_banded_hbm) can DMA it without a slice copy in between.
     """
     # gather_row reaches at most MAX_GO*128-127 lanes right of a pixel,
     # and the cnt gather at lo-1 must stay right of the pixel's group
@@ -284,6 +290,8 @@ def esl_disparity_search(
             c1 = min(int(col_range[1]) + max_disp, W)
         pre_cropped = False
     if r1 <= r0 or c1 <= c0:
+        if emit_padded:
+            return jnp.zeros((8, 128), jnp.float32)  # minimal aligned map
         if emit_crop:
             return jnp.zeros((max(r1 - r0, 0), max(c1 - c0, 0)), jnp.float32)
         return jnp.zeros((H, W), jnp.float32)
@@ -327,6 +335,8 @@ def esl_disparity_search(
         out_shape=jax.ShapeDtypeStruct((H_pad, W_pad), jnp.float32),
         interpret=interpret,
     )(cam_p, G, F, N, R, C)
+    if emit_padded:
+        return out
     out = out[: min(Hc, H - r0), : min(Wc, W - c0)]
     if emit_crop or (row_range is None and col_range is None):
         return out

@@ -123,7 +123,7 @@ def build_event_gather_plan(cam_map_packed, x_map) -> EventGatherPlan:
     )
 
 
-def _banded_gather(table_ref, rows, lanes, n_colgroups, acc0):
+def _banded_gather(table_ref, rows, lanes, n_colgroups, acc0, col_span=None):
     """acc[i,j] = table[rows[i,j], lanes[i,j]] for all (i,j) whose row falls
     in [min(rows)//8*8, max(rows)//8*8+8); other lanes keep acc0.
 
@@ -131,14 +131,45 @@ def _banded_gather(table_ref, rows, lanes, n_colgroups, acc0):
     Inner loop cost: 4 vector ops per (row, column-group) pair -- the
     (row, colgroup) match is folded into one key compare, and the
     in-group lane indices are hoisted out of the row loops.
+
+    ``col_span``: static bound on the number of COLUMN groups this
+    block's lanes span (max(lanes)//128 - min(lanes)//128 + 1 <= span;
+    the caller must guarantee it, e.g. computed on host from static
+    remap index maps -- ops.pallas_remap).  The column-group loop then
+    walks only a span-wide window loaded at a dynamic 128-aligned
+    offset, instead of all n_colgroups groups: for smooth remap maps
+    (span ~2 of 26 groups) this is most of the gather's cost.
     """
     rg_lo = jnp.min(rows) // 8
     rg_hi = jnp.max(rows) // 8 + 1
+    cgi = lanes >> 7
+    l_cg = lanes & 127  # lane index within its column group
+
+    if col_span is not None and col_span < n_colgroups:
+        # clamp keeps the window load in bounds; [min(cgi), max(cgi)]
+        # still fits because max(cgi) <= n_colgroups - 1
+        cg_lo = jnp.minimum(jnp.min(cgi), n_colgroups - col_span)
+        key = rows * col_span + (cgi - cg_lo)
+        col0 = pl.multiple_of(cg_lo * 128, 128)
+
+        def body_w(rg, acc):
+            row0 = pl.multiple_of(rg * 8, 8)
+            tab = table_ref[pl.ds(row0, 8), pl.ds(col0, col_span * 128)]
+            for s in range(8):
+                seg_row = tab[s : s + 1, :]
+                for cg in range(col_span):
+                    seg = jnp.broadcast_to(
+                        seg_row[:, cg * 128 : (cg + 1) * 128], acc0.shape
+                    )
+                    v = jnp.take_along_axis(seg, l_cg, axis=1)
+                    sel = key == (row0 + s) * col_span + cg
+                    acc = jnp.where(sel, v, acc)
+            return acc
+
+        return jax.lax.fori_loop(rg_lo, rg_hi, body_w, acc0)
 
     # per-lane key: target row and column group in one comparable word
-    cgi = lanes >> 7
     key = rows * n_colgroups + cgi
-    l_cg = lanes & 127  # lane index within its column group
 
     def body(rg, acc):
         row0 = pl.multiple_of(rg * 8, 8)
