@@ -35,11 +35,7 @@ def main():
     )
     from xmaps_tpu.calib.maps import CalibrationParams, CamProjMaps
     from xmaps_tpu.ops.pallas_esl import esl_disparity_search, rows_monotone
-    from xmaps_tpu.ops.pallas_remap import (
-        build_remap_indices,
-        remap_banded_hbm,
-        remap_static,
-    )
+    from xmaps_tpu.ops.pallas_remap import build_remap_indices
 
     # ESL_calib_hhi.yaml is in the X-maps dialect; apply from_esl_yaml's
     # rect sizing (3x the projector dims) on top of it
@@ -63,14 +59,13 @@ def main():
     p03 = float(maps.P2[0, 3])
 
     from xmaps_tpu.apps.eval_esl import build_device_depth_init
-    from xmaps_tpu.ops.pallas_esl import footprint_box
 
     H, W = rect_shape
     # the production cropped program (exactly what apps/eval_esl runs)
-    cropped_init = build_device_depth_init(
-        maps, calib, proj_rect, p03, jax, jnp,
-        build_remap_indices, remap_static, esl_disparity_search,
-        footprint_box, remap_banded_hbm=remap_banded_hbm,
+    cropped_init = build_device_depth_init(maps, calib, proj_rect, p03)
+    # the opt-in two-gather composed remap variant, for the A/B row
+    composed_init = build_device_depth_init(
+        maps, calib, proj_rect, p03, remap_method="composed"
     )
 
     # the round-4 full-surface program, for the comparison row
@@ -85,8 +80,23 @@ def main():
     fp_frac = (
         (fp_rows[1] - fp_rows[0]) * (fp_cols[1] - fp_cols[0]) / (H * W)
     )
-    yi_d, xi_d = jnp.asarray(yi_fwd), jnp.asarray(xi_fwd)
-    proj_dev = jnp.asarray(proj_rect)
+    # all large tables ride as runtime arguments: closed-over arrays
+    # (host or device) ship their bytes in every tunneled remote-compile
+    # request (128 MB device closure measured at 255 s; >~200 MB total
+    # fails with HTTP 413)
+    from xmaps_tpu.ops.pallas_remap import (
+        _block_col_span,
+        _pad_indices,
+        _remap_static_call,
+    )
+
+    yi_p, xi_p = _pad_indices(yi_fwd, xi_fwd, rect_shape, pad_col=640)
+    cs_full = _block_col_span(np.asarray(xi_p))
+    full_args = (
+        jax.device_put(jnp.asarray(yi_p)),
+        jax.device_put(jnp.asarray(xi_p)),
+        jax.device_put(jnp.asarray(proj_rect)),
+    )
     yi_b, xi_b, inb_b = build_remap_indices(
         maps.disp_cam_mapx_f32, maps.disp_cam_mapy_f32, (H, W)
     )
@@ -95,8 +105,10 @@ def main():
     )
     mask_b = jnp.asarray(inb_b)
 
-    def full_init(cam_norm):
-        cam_rect = remap_static(cam_norm, yi_d, xi_d, rect_shape)
+    def full_init(cam_norm, yi_d, xi_d, proj_dev):
+        cam_rect = _remap_static_call(
+            cam_norm, yi_d, xi_d, rect_shape, False, cs_full
+        )
         disp_rect = esl_disparity_search(cam_rect, proj_dev)
         disp_cam = jnp.where(mask_b, disp_rect.reshape(-1)[lin_b], 0.0)
         depth = jnp.where(disp_cam != 0, p03 / disp_cam, 0.0)
@@ -109,13 +121,13 @@ def main():
     cam_d = jax.device_put(cam)
     jax.block_until_ready(jax.device_put(np.zeros(32 << 20, np.uint8)))
 
-    def timed(fn, label):
+    def timed(fn, label, bound=()):
         def group(reps):
             @jax.jit
-            def g(c):
+            def g(c, bound):
                 acc = jnp.float32(0)
                 for i in range(reps):
-                    disp, depth = fn(c + jnp.float32(i) * 1e-7)
+                    disp, depth = fn(c + jnp.float32(i) * 1e-7, *bound)
                     acc = acc + depth[0, 0] + disp[7, 7]
                 return acc
 
@@ -127,9 +139,9 @@ def main():
         # (tens of ms) still dwarfs the ~1-2 ms tunnel jitter
         g1, g4 = group(1), group(4)
         print(f"# {label}: compiling g1...", flush=True)
-        jax.block_until_ready(g1(cam_d))
+        jax.block_until_ready(g1(cam_d, bound))
         print(f"# {label}: compiling g4...", flush=True)
-        jax.block_until_ready(g4(cam_d))
+        jax.block_until_ready(g4(cam_d, bound))
         print(f"# {label}: timing...", flush=True)
         # Tunnel jitter is additive-positive, so min() over trials is the
         # clean estimate of EACH group; difference the mins.  (min of the
@@ -138,29 +150,39 @@ def main():
         t1s, t4s = [], []
         for _ in range(10):
             t0 = time.perf_counter()
-            float(g1(cam_d))
+            float(g1(cam_d, bound))
             t1s.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
-            float(g4(cam_d))
+            float(g4(cam_d, bound))
             t4s.append(time.perf_counter() - t0)
         best = (min(t4s) - min(t1s)) / 3
         assert best > 0, (t1s, t4s)
         print(f"# {label}: {best * 1e3:.2f} ms/scan", flush=True)
         return best
 
-    t_crop = timed(cropped_init, "footprint crop (production path)")
-    t_full = timed(full_init, "full surface (round-4 path)")
+    t_crop = timed(
+        cropped_init.impl, "footprint crop (production path)",
+        bound=cropped_init.bound,
+    )
+    t_comp = timed(
+        composed_init.impl, "footprint crop (composed remap)",
+        bound=composed_init.bound,
+    )
+    t_full = timed(full_init, "full surface (round-4 path)", bound=full_args)
 
-    # bit-equality of the two paths on this scan
+    # bit-equality of the three paths on this scan
     a = np.asarray(cropped_init(cam_d)[0])
-    b = np.asarray(full_init(cam_d)[0])
+    b = np.asarray(full_init(cam_d, *full_args)[0])
+    c = np.asarray(composed_init(cam_d)[0])
     assert np.array_equal(a, b), "crop changed the result"
+    assert np.array_equal(a, c), "composed remap changed the result"
 
     print(json.dumps({
         "metric": "esl_init_ms_per_scan",
         "value": round(t_crop * 1e3, 2),
         "unit": "ms",
         "vs_cuda_18_99ms": round(18.99 / (t_crop * 1e3), 2),
+        "composed_remap_ms": round(t_comp * 1e3, 2),
         "full_surface_ms": round(t_full * 1e3, 2),
         "footprint_rows": fp_rows,
         "footprint_cols": fp_cols,

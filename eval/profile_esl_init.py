@@ -34,16 +34,7 @@ def main():
 
     from xmaps_tpu.apps.eval_esl import build_device_depth_init
     from xmaps_tpu.calib.maps import CalibrationParams, CamProjMaps
-    from xmaps_tpu.ops.pallas_esl import (
-        esl_disparity_search,
-        footprint_box,
-        rows_monotone,
-    )
-    from xmaps_tpu.ops.pallas_remap import (
-        build_remap_indices,
-        remap_banded_hbm,
-        remap_static,
-    )
+    from xmaps_tpu.ops.pallas_esl import rows_monotone
 
     calib = CalibrationParams.from_yaml(
         "/root/reference/data/ESL_calib_hhi.yaml", 640, 480, 1080, 1920
@@ -60,11 +51,8 @@ def main():
     )
     assert rows_monotone(proj_rect)
     p03 = float(maps.P2[0, 3])
-    cropped_init = build_device_depth_init(
-        maps, calib, proj_rect, p03, jax, jnp,
-        build_remap_indices, remap_static, esl_disparity_search,
-        footprint_box, remap_banded_hbm=remap_banded_hbm,
-    )
+    cropped_init = build_device_depth_init(maps, calib, proj_rect, p03)
+    impl, bound = cropped_init.impl, cropped_init.bound
 
     rng = np.random.default_rng(3)
     cam = np.where(
@@ -76,22 +64,22 @@ def main():
     reps = 4
 
     @jax.jit
-    def group(c):
+    def group(c, bound):
         acc = jnp.float32(0)
         for i in range(reps):
-            disp, depth = cropped_init(c + jnp.float32(i) * 1e-7)
+            disp, depth = impl(c + jnp.float32(i) * 1e-7, *bound)
             acc = acc + depth[0, 0] + disp[7, 7]
         return acc
 
     print("# compiling...", flush=True)
-    float(group(cam_d))
+    float(group(cam_d, bound))
 
     trace_dir = "/tmp/xmaps_esl_trace"
     os.system(f"rm -rf {trace_dir}")
     runs = 3
     with jax.profiler.trace(trace_dir):
         for _ in range(runs):
-            float(group(cam_d))
+            float(group(cam_d, bound))
 
     paths = glob.glob(
         os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True

@@ -71,21 +71,32 @@ def test_esl_search_footprint_crop_bit_equal(rng, trial):
     np.testing.assert_array_equal(full, cropped)
     assert full.any()  # the comparison is not vacuous
 
+    # hoisted projector prep tables (esl_search_prep) must be invisible
+    # too -- same ops, computed once instead of per scan
+    from xmaps_tpu.ops.pallas_esl import esl_search_prep
+
+    prep = esl_search_prep(
+        proj, min_disp=5, max_disp=md,
+        row_range=(r0, r1), col_range=(c0, c1),
+    )
+    with_prep = np.asarray(
+        esl_disparity_search(
+            cam, proj, min_disp=5, max_disp=md, interpret=True,
+            row_range=(r0, r1), col_range=(c0, c1), prep=prep,
+        )
+    )
+    np.testing.assert_array_equal(full, with_prep)
+
 
 def test_esl_device_depth_init_cropped_matches_dense(rng):
     """The production pre-cropped per-scan program (remap -> search ->
     back-gather, all on the footprint box; apps.eval_esl
     build_device_depth_init) vs the dense full-surface oracle path."""
-    import jax
-    import jax.numpy as jnp
-
     from xmaps_tpu.apps.eval_esl import (
         build_device_depth_init,
         disparity_init_dense,
     )
     from xmaps_tpu.calib.maps import CamProjMaps, remap_nearest
-    from xmaps_tpu.ops.pallas_esl import footprint_box
-    from xmaps_tpu.ops.pallas_remap import build_remap_indices
     from xmaps_tpu.utils.synthetic import make_synthetic_calibration
 
     calib = make_synthetic_calibration(
@@ -99,21 +110,6 @@ def test_esl_device_depth_init_cropped_matches_dense(rng):
     )
     assert rows_monotone(proj_rect)
     p03 = float(maps.P2[0, 3])
-
-    def remap_static_interp(src, yi, xi, out_shape, **kw):
-        from xmaps_tpu.ops.pallas_remap import remap_static
-
-        return remap_static(src, yi, xi, out_shape, interpret=True, **kw)
-
-    def search_interp(*a, **k):
-        from xmaps_tpu.ops.pallas_esl import esl_disparity_search
-
-        return esl_disparity_search(*a, interpret=True, **k)
-
-    def remap_banded_interp(src, yi, xi, inb, out_shape):
-        from xmaps_tpu.ops.pallas_remap import remap_banded_hbm
-
-        return remap_banded_hbm(src, yi, xi, inb, out_shape, interpret=True)
 
     cam = np.where(
         rng.random((48, 64)) < 0.8, rng.random((48, 64)), 0
@@ -129,13 +125,13 @@ def test_esl_device_depth_init_cropped_matches_dense(rng):
         border_replicate=False,
     ).astype(np.float32)
 
-    # both back-remap variants: XLA flat gather and the HBM-banded
-    # Pallas remap over the search kernel's padded output
-    for banded in (None, remap_banded_interp):
+    # both back-remap variants: XLA flat gather and (when viable at this
+    # gentle synthetic rotation) the HBM-banded Pallas remap over the
+    # search kernel's padded output
+    for allow_banded in (False, True):
         dev_init = build_device_depth_init(
-            maps, calib, proj_rect, p03, jax, jnp,
-            build_remap_indices, remap_static_interp, search_interp,
-            footprint_box, remap_banded_hbm=banded,
+            maps, calib, proj_rect, p03,
+            interpret=True, allow_banded=allow_banded,
         )
         disp_cam, depth = (np.asarray(a) for a in dev_init(cam))
         np.testing.assert_array_equal(disp_cam, want)
@@ -213,6 +209,49 @@ def test_remap_static_col_span_bit_equal(rng):
         remap_static(src, yi, xi, (H, W), interpret=True, inb=inb)
     )
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_remap_static_composed_bit_equal(rng, trial):
+    """The two-gather composed kernel (host layered row tables) vs the
+    walk kernel and the host oracle, on rotated upsampling maps that
+    force multi-layer conflicts (same output row, same source column,
+    different source rows)."""
+    from xmaps_tpu.ops.pallas_remap import (
+        _block_col_span,
+        _compose_two_gather,
+        _nearest_valid_fill,
+        _round_up,
+    )
+
+    Hs, Ws = 40 + 8 * trial, 200 + 64 * trial
+    H, W = 120, 300 + 100 * trial
+    src = rng.random((Hs, Ws)).astype(np.float32)
+    jj, ii = np.meshgrid(np.arange(W), np.arange(H))
+    # ~0.35 source cols per dest lane + strong row drift along the lane
+    # axis -> same-column destinations within a row disagree on the row
+    map_x = (jj * 0.33 + 0.05 * ii - 1.0).astype(np.float32)
+    map_y = (ii * 0.28 + 0.09 * jj - 1.0).astype(np.float32)
+    yi, xi, inb = build_remap_indices(map_x, map_y, (Hs, Ws))
+    assert inb.any() and not inb.all()
+    want = remap_nearest(src, map_x, map_y, border_replicate=False)
+
+    # the geometry really exercises layers
+    yi_f = _nearest_valid_fill(np.asarray(yi, np.int32), np.asarray(inb))
+    xi_f = _nearest_valid_fill(np.asarray(xi, np.int32), np.asarray(inb))
+    Hp, Wp = _round_up(H, 8), _round_up(W, 128)
+    yi_p = np.pad(yi_f, ((0, Hp - H), (0, Wp - W)), mode="edge")
+    xi_p = np.pad(xi_f, ((0, Hp - H), (0, Wp - W)), mode="edge")
+    ncg = _round_up(Ws + 1, 128) // 128
+    *_, K = _compose_two_gather(yi_p, xi_p, ncg, _block_col_span(xi_p))
+    assert K >= 2, "map fails to generate layer conflicts"
+
+    for method in ("walk", "composed"):
+        got = np.asarray(
+            remap_static(src, yi, xi, (H, W), interpret=True, inb=inb,
+                         method=method)
+        )
+        np.testing.assert_array_equal(got, want)
 
 
 @pytest.mark.parametrize("trial", range(3))

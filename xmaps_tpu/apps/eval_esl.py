@@ -272,9 +272,10 @@ def normalize_scan(cam_image: np.ndarray) -> np.ndarray:
 
 
 def build_device_depth_init(
-    maps, calib, proj_rect, p03, jax, jnp,
-    build_remap_indices, remap_static, esl_disparity_search, footprint_box,
-    remap_banded_hbm=None,
+    maps, calib, proj_rect, p03,
+    interpret: bool = False,
+    allow_banded: bool = True,
+    remap_method: str = "auto",
 ):
     """The fully device-resident per-scan depth-init program, cropped to
     the static camera footprint.
@@ -289,18 +290,36 @@ def build_device_depth_init(
     tests/test_pallas_esl.py) and removes the dominant cost -- the remap
     alone materialized 18.7 Mpx per scan at the ESL eval geometry.
 
-    ``remap_banded_hbm`` (ops.pallas_remap): when given AND viable
-    (banded_hbm_viable), the back-remap (disp_box -> camera view) runs
-    as the HBM-banded Pallas remap over the search kernel's PADDED
-    output instead of XLA's serialized flat gather.  At the ESL eval
-    geometry the back-remap's rotation (~2.5 source rows per lane)
-    fails the viability check, so the production path keeps the XLA
-    gather with an optimization barrier; the combined round-5 change
-    (col-span windowed forward remap + barrier) measured 11.87 ->
+    The static box-sized arrays (forward remap index maps, hoisted
+    search prep tables) are threaded through the jit as runtime
+    ARGUMENTS, not trace constants: ~200 MB of HLO constants exceeds a
+    remote-compile payload (tunneled TPU) and bloats every cache entry.
+
+    ``allow_banded``: when the back-remap is viable as the HBM-banded
+    Pallas remap (ops.pallas_remap.banded_hbm_viable), use it over the
+    search kernel's PADDED output instead of XLA's serialized flat
+    gather.  At the ESL eval geometry the back-remap's rotation (~2.5
+    source rows per lane) fails the viability check, so the production
+    path keeps the XLA gather with an optimization barrier; the round-5
+    col-span windowed forward remap + barrier measured 11.87 ->
     9.75 ms/scan on TPU (eval/profile_esl_init.py attribution:
     forward remap 5.82 -> 3.93, XLA-fusion bucket 2.53 -> 2.19).
     Bit-identical either way.
     """
+    import jax
+    import jax.numpy as jnp
+
+    from xmaps_tpu.ops.pallas_esl import (
+        esl_disparity_search,
+        esl_search_prep,
+        footprint_box,
+    )
+    from xmaps_tpu.ops.pallas_remap import (
+        apply_remap_static,
+        build_remap_indices,
+        prepare_remap_static,
+    )
+
     H_r, W_r = calib.rect_image_height, calib.rect_image_width
     yi_fwd, xi_fwd, inb_fwd = build_remap_indices(
         maps.camera_mapx, maps.camera_mapy,
@@ -331,10 +350,12 @@ def build_device_depth_init(
     # pre-crop the static inputs ONCE: forward remap indices (so the
     # remap emits only the box), the projector ramp, and box-relative
     # back-gather indices
-    inb_fwd_box = np.asarray(inb_fwd[r0:r1, c0:c1])
-    yi_fwd = jnp.asarray(yi_fwd[r0:r1, c0:c1])
-    xi_fwd = jnp.asarray(xi_fwd[r0:r1, c0:c1])
-    proj_box = jnp.asarray(np.asarray(proj_rect)[r0:r1, c0:c1])
+    cfg_fwd, arrs_fwd = prepare_remap_static(
+        yi_fwd[r0:r1, c0:c1], xi_fwd[r0:r1, c0:c1],
+        inb_fwd[r0:r1, c0:c1], box_shape, calib.camera_width,
+        method=remap_method,
+    )
+    proj_box = np.asarray(proj_rect)[r0:r1, c0:c1]
     lin_box = jnp.asarray(
         np.where(
             inb_b,
@@ -344,12 +365,29 @@ def build_device_depth_init(
     )
     mask_b = jnp.asarray(inb_b)
 
+    # the search's per-row projector scan tables are constant across
+    # scans: hoist them out of the per-scan program (esl_search_prep;
+    # XLA re-ran the 2.19 ms/scan of cummin/cummax/cumsum fusions
+    # otherwise -- eval/profile_esl_init.py).  Both the prep tables and
+    # the remap index arrays ride as RUNTIME arguments: as trace
+    # constants they are embedded in the HLO (~200 MB at the ESL
+    # geometry), which a tunneled remote-compile rejects outright
+    # (HTTP 413) and which the back-remap projector pass has no use for
+    prep = esl_search_prep(
+        proj_box, row_range=fp_rows, col_range=fp_cols,
+        full_shape=(H_r, W_r),
+    )
+    arrs_fwd = tuple(jax.device_put(jnp.asarray(a)) for a in arrs_fwd)
+
     use_banded = False
-    if remap_banded_hbm is not None:
+    if allow_banded:
         # box-relative back-remap indices for the banded Pallas gather
         # (consumes the search kernel's PADDED output directly)
         from xmaps_tpu.ops.pallas_esl import _round_up
-        from xmaps_tpu.ops.pallas_remap import banded_hbm_viable
+        from xmaps_tpu.ops.pallas_remap import (
+            banded_hbm_viable,
+            remap_banded_hbm,
+        )
 
         yi_rel = np.asarray(yi_b, np.int64) - r0
         xi_rel = np.asarray(xi_b, np.int64) - c0
@@ -367,42 +405,55 @@ def build_device_depth_init(
     if use_banded:
 
         @jax.jit
-        def device_depth_init(cam_norm_dev):
-            cam_box = remap_static(cam_norm_dev, yi_fwd, xi_fwd, box_shape,
-                                   inb=inb_fwd_box)
+        def _impl(cam_norm_dev, arrs_fwd, prep):
+            cam_box = apply_remap_static(
+                cam_norm_dev, arrs_fwd, cfg_fwd, interpret=interpret
+            )
             disp_pad = esl_disparity_search(
-                cam_box, proj_box,
+                cam_box, None, interpret=interpret,
                 row_range=fp_rows, col_range=fp_cols,
                 full_shape=(H_r, W_r), emit_crop=True, emit_padded=True,
+                prep=prep,
             )
             disp_cam = remap_banded_hbm(
-                disp_pad, yi_rel, xi_rel, inb_b, cam_shape
+                disp_pad, yi_rel, xi_rel, inb_b, cam_shape,
+                interpret=interpret,
             )
             depth = jnp.where(disp_cam != 0, p03 / disp_cam, 0.0)
             return disp_cam, depth
 
-        return device_depth_init
+    else:
 
-    @jax.jit
+        @jax.jit
+        def _impl(cam_norm_dev, arrs_fwd, prep):
+            cam_box = apply_remap_static(
+                cam_norm_dev, arrs_fwd, cfg_fwd, interpret=interpret
+            )
+            disp_box = esl_disparity_search(
+                cam_box, None, interpret=interpret,
+                row_range=fp_rows, col_range=fp_cols,
+                full_shape=(H_r, W_r), emit_crop=True, prep=prep,
+            )
+            # materialize the serialized flat gather ONCE behind a
+            # barrier so XLA cannot rematerialize it per consumer (disp
+            # and depth both read it); measured with the col-span remap
+            # change as fusion bucket 2.53 -> 2.19 ms/scan
+            # (eval/profile_esl_init.py)
+            gathered = jax.lax.optimization_barrier(
+                disp_box.reshape(-1)[lin_box]
+            )
+            disp_cam = jnp.where(mask_b, gathered, 0.0)
+            depth = jnp.where(disp_cam != 0, p03 / disp_cam, 0.0)
+            return disp_cam, depth
+
     def device_depth_init(cam_norm_dev):
-        cam_box = remap_static(cam_norm_dev, yi_fwd, xi_fwd, box_shape,
-                               inb=inb_fwd_box)
-        disp_box = esl_disparity_search(
-            cam_box, proj_box,
-            row_range=fp_rows, col_range=fp_cols,
-            full_shape=(H_r, W_r), emit_crop=True,
-        )
-        # materialize the serialized flat gather ONCE behind a barrier
-        # so XLA cannot rematerialize it per consumer (disp and depth
-        # both read it); measured with the col-span remap change as
-        # fusion bucket 2.53 -> 2.19 ms/scan (eval/profile_esl_init.py)
-        gathered = jax.lax.optimization_barrier(
-            disp_box.reshape(-1)[lin_box]
-        )
-        disp_cam = jnp.where(mask_b, gathered, 0.0)
-        depth = jnp.where(disp_cam != 0, p03 / disp_cam, 0.0)
-        return disp_cam, depth
+        return _impl(cam_norm_dev, arrs_fwd, prep)
 
+    # callers embedding the program inside a LARGER jit (bench groups)
+    # must thread the bound arrays through their own signature, or they
+    # come back as trace constants
+    device_depth_init.impl = _impl
+    device_depth_init.bound = (arrs_fwd, prep)
     return device_depth_init
 
 
@@ -490,20 +541,8 @@ def main(argv=None):
     on_tpu = jax.devices()[0].platform not in ("cpu", "gpu", "cuda", "rocm")
     use_fast = on_tpu and not args.no_fast_search and rows_monotone(proj_rect)
     if use_fast:
-        import jax.numpy as jnp
-
-        from xmaps_tpu.ops.pallas_remap import (
-            build_remap_indices,
-            remap_banded_hbm,
-            remap_static,
-        )
-
-        from xmaps_tpu.ops.pallas_esl import footprint_box
-
         device_depth_init = build_device_depth_init(
-            maps, calib, proj_rect, p03, jax, jnp,
-            build_remap_indices, remap_static, esl_disparity_search,
-            footprint_box, remap_banded_hbm=remap_banded_hbm,
+            maps, calib, proj_rect, p03
         )
 
     for i in range(args.start_scan, min(args.start_scan + args.num_scans, len(scan_files))):

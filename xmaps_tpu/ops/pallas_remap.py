@@ -18,7 +18,13 @@ Two variants:
   function of the calibration), the per-block COLUMN-group span is also
   computed on host and the gather walks only that window: at the ESL
   eval geometry this cut the forward remap from 5.82 to 3.93 ms/scan
-  (eval/profile_esl_init.py attribution, ESL_INIT_r05.json).
+  (eval/profile_esl_init.py attribution, ESL_INIT_r05.json).  With a
+  concrete ``inb`` mask the kernel can further switch to the two-gather
+  form (``method``): the source ROW indices are pre-composed on host
+  into source-column space (layered where destinations conflict --
+  :func:`_compose_two_gather`), so each (row-group, column-group,
+  layer) candidate costs one sublane gather + one lane gather + select
+  instead of an 8-row broadcast-select walk.
 - :func:`remap_banded_hbm` -- the source is too large for VMEM (e.g. the
   ESL footprint-box disparity surface, ~37 MB).  The host precomputes,
   per 8-row destination strip, the source row band the strip reads
@@ -37,6 +43,7 @@ variant instead clamps both indices and masks the output.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +53,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from xmaps_tpu.ops.pallas_events import _banded_gather, _round_up
 
-__all__ = ["build_remap_indices", "remap_static", "remap_banded_hbm"]
+__all__ = [
+    "build_remap_indices",
+    "remap_static",
+    "remap_banded_hbm",
+    "prepare_remap_static",
+    "apply_remap_static",
+]
 
 
 def build_remap_indices(map_x: np.ndarray, map_y: np.ndarray, src_shape):
@@ -114,6 +127,148 @@ def _block_col_span(xi_p: np.ndarray) -> int:
     )
 
 
+def _compose_two_gather(yi_p, xi_p, n_colgroups, col_span):
+    """Host index composition for the two-gather remap kernel.
+
+    A 2D gather out[i,j] = src[yi[i,j], xi[i,j]] cannot be split into a
+    sublane take_along_axis followed by a lane take_along_axis -- the
+    row index would be re-evaluated at the gathered lane.  But the maps
+    are STATIC, so the row indices can be pre-composed: store the source
+    row in SOURCE-column space, R[i, c] = yi at the destination (i, j)
+    with xi[i,j] = c.  Then
+        v[i, jw] = band[R[i, jw], jw]        (sublane gather)
+        w[i, j]  = v[i, xi[i,j] & 127]       (lane gather)
+    lands src[yi, xi] at (i, j) exactly.  When two destinations on one
+    output row read the same source column with DIFFERENT source rows,
+    R gets one LAYER per distinct row (rank by row value); K = max
+    layers is geometry-static (e.g. 3 at the ESL eval rotation).
+
+    Returns (key2, R (K, H_pad, n_colgroups*128), K): key2[i,j] =
+    ((yi//8)*col_span + (cgi - cg_lo_block))*K + layer picks exactly one
+    (rg, cg, layer) kernel iteration per destination; the kernel
+    re-derives cg_lo_block from xi and the row-group walk bounds from
+    key2's block min/max (key2 is lexicographic in (rg, cgrel, layer)).
+    """
+    H_pad, W_pad = yi_p.shape
+    yi_p = np.asarray(yi_p, np.int64)
+    xi_p = np.asarray(xi_p, np.int64)
+    n_strips, blocks = H_pad // 8, W_pad // 128
+
+    # layer ranks: unique (output row, source col, source row) triples,
+    # ranked by source row within each (row, col) group
+    A = n_colgroups * 128
+    i_idx = np.repeat(np.arange(H_pad, dtype=np.int64), W_pad)
+    c_flat = xi_p.ravel()
+    r_flat = yi_p.ravel()
+    B = int(r_flat.max()) + 2
+    trip = (i_idx * A + c_flat) * B + r_flat
+    u = np.unique(trip)
+    gid = u // B
+    starts = np.r_[0, np.flatnonzero(np.diff(gid)) + 1]
+    counts = np.diff(np.r_[starts, len(u)])
+    rank = np.arange(len(u)) - np.repeat(starts, counts)
+    K = int(rank.max()) + 1
+    layer = rank[np.searchsorted(u, trip)].reshape(H_pad, W_pad)
+
+    R = np.zeros((K, H_pad, A), np.int32)
+    ui = gid // A
+    uc = gid % A
+    ur = (u % B).astype(np.int32)
+    R[rank, ui, uc] = ur
+
+    cgi = (xi_p >> 7).reshape(n_strips, 8, blocks, 128)
+    cg_lo = np.minimum(
+        cgi.min(axis=(1, 3)), n_colgroups - col_span
+    )
+    cgrel = (xi_p >> 7) - np.repeat(
+        np.repeat(cg_lo, 8, axis=0), 128, axis=1
+    )
+    key2 = (((yi_p >> 3) * col_span + cgrel) * K + layer).astype(np.int32)
+    return key2, R, K
+
+
+def _remap_kernel_composed(
+    key_ref, xi_ref, R_ref, src_ref, out_ref, *,
+    n_colgroups, blocks, col_span, K,
+):
+    outs = []
+    for b in range(blocks):
+        sl = slice(b * 128, (b + 1) * 128)
+        key = key_ref[:, sl]
+        xi = xi_ref[:, sl]
+        lcg = xi & 127
+        cg0 = jnp.minimum(jnp.min(xi >> 7), n_colgroups - col_span)
+        col0 = pl.multiple_of(cg0 * 128, 128)
+        # key2 is lexicographic in (rg, cgrel, layer): block min/max
+        # recover the row-group walk bounds
+        rg_lo = jnp.min(key) // (col_span * K)
+        rg_hi = jnp.max(key) // (col_span * K) + 1
+
+        def body(rg, acc, key=key, lcg=lcg, col0=col0):
+            row0 = pl.multiple_of(rg * 8, 8)
+            tab = src_ref[pl.ds(row0, 8), pl.ds(col0, col_span * 128)]
+            for ly in range(K):
+                Rw = R_ref[ly, :, pl.ds(col0, col_span * 128)]
+                idx = (Rw - row0) & 7  # legal for any value; garbage
+                for cg in range(col_span):  # dies in the key select
+                    csl = slice(cg * 128, (cg + 1) * 128)
+                    v = jnp.take_along_axis(
+                        tab[:, csl], idx[:, csl], axis=0
+                    )
+                    w = jnp.take_along_axis(v, lcg, axis=1)
+                    sel = key == (rg * col_span + cg) * K + ly
+                    acc = jnp.where(sel, w, acc)
+            return acc
+
+        outs.append(
+            jax.lax.fori_loop(
+                rg_lo, rg_hi, body, jnp.zeros((8, 128), jnp.float32)
+            )
+        )
+    out_ref[:] = jnp.concatenate(outs, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_shape", "interpret", "col_span", "K"),
+)
+def _remap_static_composed_call(
+    src, key2, xi_p, R, out_shape, interpret, col_span, K
+):
+    H, W = out_shape
+    src = jnp.asarray(src, jnp.float32)
+    Hs, Ws = src.shape
+    Hs_pad = _round_up(Hs, 8)
+    Ws_pad = _round_up(Ws + 1, 128)
+    src_p = jnp.pad(src, ((0, Hs_pad - Hs), (0, Ws_pad - Ws)))
+
+    H_pad = _round_up(H, 8)
+    W_pad = _round_up(W, 128)
+
+    strip = pl.BlockSpec((8, W_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _remap_kernel_composed,
+            n_colgroups=Ws_pad // 128, blocks=W_pad // 128,
+            col_span=col_span, K=K,
+        ),
+        grid=(H_pad // 8,),
+        in_specs=[
+            strip,
+            strip,
+            pl.BlockSpec(
+                (K, 8, Ws_pad), lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=strip,
+        out_shape=jax.ShapeDtypeStruct((H_pad, W_pad), jnp.float32),
+        interpret=interpret,
+    )(key2, xi_p, R, src_p)
+    return out[:H, :W]
+
+
 def _remap_kernel(yi_ref, xi_ref, src_ref, out_ref, *, n_colgroups, blocks,
                   col_span):
     outs = []
@@ -179,8 +334,83 @@ def _pad_indices(yi, xi, out_shape, pad_col):
     return yi_p, xi_p
 
 
+class RemapStaticCfg(NamedTuple):
+    """Static (hashable) half of a prepared remap; see
+    :func:`prepare_remap_static`."""
+
+    out_shape: tuple
+    col_span: int
+    K: int  # 0 = walk kernel, >0 = composed two-gather with K layers
+
+
+def prepare_remap_static(yi, xi, inb, out_shape, src_width,
+                         col_span: int | None = None,
+                         method: str = "auto"):
+    """Host-side preparation of a static remap for use INSIDE a caller's
+    jit with the index maps as runtime ARGUMENTS.
+
+    Passing multi-MB index arrays as trace-time constants embeds them in
+    the HLO; on a remote-compiled device (tunneled TPU) that blows the
+    compile-request payload.  This splits the remap into a hashable
+    static config and a tuple of host arrays the caller device_puts once
+    and threads through its jit:
+
+        cfg, arrs = prepare_remap_static(yi, xi, inb, out_shape, Ws)
+        arrs_dev = tuple(jax.device_put(a) for a in arrs)
+        @jax.jit
+        def step(src, arrs):
+            out = apply_remap_static(src, arrs, cfg)  # (H, W), masked
+
+    Equivalent to remap_static(src, yi, xi, out_shape, inb=inb) -- same
+    kernels, same auto method selection, bit-identical.
+    """
+    inb = np.asarray(inb, bool)
+    yi = _nearest_valid_fill(np.asarray(yi, np.int32), inb)
+    xi = _nearest_valid_fill(np.asarray(xi, np.int32), inb)
+    H, W = out_shape
+    H_pad = _round_up(H, 8)
+    W_pad = _round_up(W, 128)
+    yi_p = np.pad(yi, ((0, H_pad - H), (0, W_pad - W)), mode="edge")
+    xi_p = np.pad(xi, ((0, H_pad - H), (0, W_pad - W)), mode="edge")
+    if col_span is None:
+        col_span = _block_col_span(xi_p)
+    n_colgroups = _round_up(src_width + 1, 128) // 128
+    # "auto" currently means walk: at the ESL eval geometry (K=3,
+    # col_span=2) the static op-count model predicts a ~2x composed win,
+    # but the full-program totals measured EQUAL (composed + hoisted
+    # search prep 9.80 ms/scan vs walk + inline prep 9.76) -- i.e. the
+    # composed kernel gave back roughly what the prep hoist saved.
+    # Walk is the measured-best default; composed stays opt-in.
+    use_composed = method == "composed"
+    if use_composed:
+        key2, R, K = _compose_two_gather(yi_p, xi_p, n_colgroups, col_span)
+    if use_composed:
+        cfg = RemapStaticCfg(tuple(out_shape), col_span, K)
+        return cfg, (key2, xi_p, R, inb)
+    cfg = RemapStaticCfg(tuple(out_shape), col_span, 0)
+    return cfg, (yi_p, xi_p, inb)
+
+
+def apply_remap_static(src, arrs, cfg: RemapStaticCfg,
+                       interpret: bool = False):
+    """Traceable half of :func:`prepare_remap_static`."""
+    if cfg.K > 0:
+        key2, xi_p, R, inb = arrs
+        out = _remap_static_composed_call(
+            src, key2, xi_p, R, cfg.out_shape, interpret,
+            cfg.col_span, cfg.K,
+        )
+    else:
+        yi_p, xi_p, inb = arrs
+        out = _remap_static_call(
+            src, yi_p, xi_p, cfg.out_shape, interpret, cfg.col_span
+        )
+    return jnp.where(inb, out, jnp.float32(0))
+
+
 def remap_static(src, yi, xi, out_shape, interpret: bool = False,
-                 col_span: int | None = None, inb=None):
+                 col_span: int | None = None, inb=None,
+                 method: str = "auto"):
     """src (Hs, Ws) f32 + precomputed int index maps -> (H, W) f32.
 
     When yi/xi are concrete (not tracers), the per-block column-group
@@ -191,24 +421,23 @@ def remap_static(src, yi, xi, out_shape, interpret: bool = False,
     When given, out-of-bounds destinations borrow the nearest valid
     lane's indices (instead of the zero column at Ws, whose far column
     group would force the span to the full width) and the output is
-    masked to 0 outside -- bit-identical results, banded speed."""
+    masked to 0 outside -- bit-identical results, banded speed.
+
+    ``method`` (concrete inb path only): "walk" = the 8-row
+    broadcast-select band walk; "composed" = the two-gather kernel with
+    host-precomposed layered row tables (_compose_two_gather); "auto"
+    picks by the static per-block op-count model.  Bit-identical."""
     Ws = src.shape[1]
     if inb is not None and not isinstance(yi, jax.core.Tracer):
-        inb = np.asarray(inb, bool)
-        yi = _nearest_valid_fill(np.asarray(yi, np.int32), inb)
-        xi = _nearest_valid_fill(np.asarray(xi, np.int32), inb)
-        H, W = out_shape
-        H_pad = _round_up(H, 8)
-        W_pad = _round_up(W, 128)
-        yi_p = np.pad(yi, ((0, H_pad - H), (0, W_pad - W)), mode="edge")
-        xi_p = np.pad(xi, ((0, H_pad - H), (0, W_pad - W)), mode="edge")
-        if col_span is None:
-            col_span = _block_col_span(xi_p)
-        out = _remap_static_call(
-            src, jnp.asarray(yi_p), jnp.asarray(xi_p), tuple(out_shape),
-            interpret, col_span,
+        cfg, arrs = prepare_remap_static(
+            yi, xi, inb, out_shape, Ws,
+            col_span=col_span, method=method,
         )
-        return jnp.where(jnp.asarray(inb), out, jnp.float32(0))
+        return apply_remap_static(
+            src, tuple(jnp.asarray(a) for a in arrs), cfg,
+            interpret=interpret,
+        )
+    assert method == "auto", "method requires a concrete inb path"
     yi_p, xi_p = _pad_indices(yi, xi, out_shape, pad_col=Ws)
     if col_span is None and not isinstance(xi_p, jax.core.Tracer):
         col_span = _block_col_span(np.asarray(xi_p))
