@@ -125,13 +125,16 @@ def test_esl_device_depth_init_cropped_matches_dense(rng):
         border_replicate=False,
     ).astype(np.float32)
 
-    # both back-remap variants: XLA flat gather and (when viable at this
-    # gentle synthetic rotation) the HBM-banded Pallas remap over the
-    # search kernel's padded output
-    for allow_banded in (False, True):
+    # back-remap variants (XLA flat gather; the HBM-banded Pallas remap
+    # when viable at this gentle synthetic rotation) x forward-remap
+    # kernels (walk; the opt-in composed two-gather)
+    for allow_banded, method in (
+        (False, "auto"), (True, "auto"), (False, "composed")
+    ):
         dev_init = build_device_depth_init(
             maps, calib, proj_rect, p03,
             interpret=True, allow_banded=allow_banded,
+            remap_method=method,
         )
         disp_cam, depth = (np.asarray(a) for a in dev_init(cam))
         np.testing.assert_array_equal(disp_cam, want)

@@ -426,7 +426,8 @@ def remap_static(src, yi, xi, out_shape, interpret: bool = False,
     ``method`` (concrete inb path only): "walk" = the 8-row
     broadcast-select band walk; "composed" = the two-gather kernel with
     host-precomposed layered row tables (_compose_two_gather); "auto"
-    picks by the static per-block op-count model.  Bit-identical."""
+    currently selects walk (measured best at the ESL geometry; see
+    prepare_remap_static).  Bit-identical either way."""
     Ws = src.shape[1]
     if inb is not None and not isinstance(yi, jax.core.Tracer):
         cfg, arrs = prepare_remap_static(
